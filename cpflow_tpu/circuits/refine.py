@@ -1,0 +1,207 @@
+"""Refinement of approximate circuits: Approximate -> Rational -> Clifford+T.
+
+Parity target: reference cpflow/exact_decompositions.py:77-344. The greedy
+1q-angle elimination (reduce_all_1q_angles) keeps the reference's exact
+decision order — zero the leading angle if the loss stays below threshold,
+else merge it into a later rotation on the same wire with either sign — but
+evaluates every probe on the host in float64 numpy instead of dispatching one
+jitted device call per probe (the reference's chatty host<->device pattern,
+SURVEY.md §3.4). A 2^n x 2^n gate-chain eval at n<=6 is microseconds on host.
+
+Each stage is guarded by check_approximation / check_loss; a ValueError rolls
+the result back to the previous stage (refine state machine,
+exact_decompositions.py:293-344).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from cpflow_tpu.circuits import passes
+from cpflow_tpu.circuits.clifford_t import solovay_kitaev
+from cpflow_tpu.circuits.ir import Circuit, ROTATION_NAMES
+from cpflow_tpu.circuits.passes import (all_rgates_are_rational,
+                                        check_approximation, check_loss,
+                                        cp_to_cz_circuit, convert_to_zxz,
+                                        rationalize_all_rgates,
+                                        remove_zero_rgates)
+
+
+def _bracket(a: float) -> float:
+    return ((a + math.pi) % (2 * math.pi)) - math.pi
+
+
+def host_loss_adapter(unitary_loss_func) -> Callable[[np.ndarray], float]:
+    """Make a unitary loss callable cheaply on host numpy matrices.
+
+    LossSpec objects (cpflow_tpu.api) expose .numpy; arbitrary user callables
+    are invoked directly — they are typically jnp-based and still work on
+    numpy inputs (running on the default JAX backend).
+    """
+    np_fn = getattr(unitary_loss_func, 'numpy', None)
+    if np_fn is not None:
+        return lambda u: float(np_fn(u))
+    return lambda u: float(unitary_loss_func(u))
+
+
+# --------------------------------------------------------------------------
+# Greedy 1q-angle reduction
+# --------------------------------------------------------------------------
+
+def reduce_all_1q_angles(loss_of_angles: Callable[[np.ndarray], float],
+                         initial_angles: np.ndarray,
+                         wires: List[int],
+                         threshold: float = 1e-5) -> np.ndarray:
+    """Greedy elimination of rotation angles (reference
+    exact_decompositions.py:77-113, iterative instead of recursive).
+
+    For each angle position i (left to right): try setting it to zero; if the
+    loss stays under `threshold`, commit. Otherwise try, for each later
+    rotation j>i on the same wire, folding angle i into j with either sign.
+    Earlier decisions condition later ones exactly as in the reference.
+    """
+    angles = np.array(initial_angles, dtype=float)
+    num = len(angles)
+    for i in range(num):
+        trial = angles.copy()
+        trial[i] = 0.0
+        if loss_of_angles(trial) < threshold:
+            angles = trial
+            continue
+        for j in range(i + 1, num):
+            if wires[j] != wires[i]:
+                continue
+            done = False
+            for sign in (-1.0, 1.0):
+                trial = angles.copy()
+                trial[j] = angles[j] + sign * angles[i]
+                trial[i] = 0.0
+                if loss_of_angles(trial) < threshold:
+                    angles = trial
+                    done = True
+                    break
+            if done:
+                break
+    return angles
+
+
+def _circuit_loss_of_angles(qc: Circuit, host_loss) -> Callable[[np.ndarray], float]:
+    def loss(angles: np.ndarray) -> float:
+        return host_loss(qc.with_rotation_angles(angles).unitary())
+    return loss
+
+
+def reduce_angles(circuit: Circuit, unitary_loss_func,
+                  reduce_threshold: float = 1e-5,
+                  cp_threshold: float = 0.01) -> Circuit:
+    """CP->CZ projection, ZXZ conversion, greedy angle reduction
+    (reference exact_decompositions.py:193-209)."""
+    qc = cp_to_cz_circuit(circuit, cp_threshold=cp_threshold)
+    qc = convert_to_zxz(qc)
+
+    host_loss = host_loss_adapter(unitary_loss_func)
+    angles = np.array(qc.parameters, dtype=float)
+    wires = qc.rotation_wires
+
+    reduced = reduce_all_1q_angles(
+        _circuit_loss_of_angles(qc, host_loss), angles, wires,
+        threshold=reduce_threshold)
+    qc = qc.with_rotation_angles([_bracket(a) for a in reduced])
+
+    check_loss(qc, host_loss, threshold_loss=reduce_threshold)
+    return qc
+
+
+# --------------------------------------------------------------------------
+# The refine state machine
+# --------------------------------------------------------------------------
+
+def refine(circuit: Circuit,
+           unitary_loss_func,
+           max_denominator: int = 32,
+           angle_threshold: float = 1e-3,
+           cp_threshold: float = 0.01,
+           reduce_threshold: float = 1e-5,
+           recursion_degree: int = 0,
+           recursion_depth: int = 5,
+           verbose: bool = False
+           ) -> Tuple[Circuit, str, Optional[int], Optional[int]]:
+    """Approximate -> Rational -> Clifford+T refinement
+    (reference exact_decompositions.py:293-344). Returns
+    (circuit, type, t_count, t_depth); failed stages roll back."""
+    qc = circuit.copy()
+    refine_type = 'Approximate'
+    t_count = None
+    t_depth = None
+
+    try:
+        qc = reduce_angles(qc, unitary_loss_func,
+                           reduce_threshold=reduce_threshold,
+                           cp_threshold=cp_threshold)
+        qc = remove_zero_rgates(qc)
+        refine_type = 'Approximate'
+    except ValueError as e:
+        if verbose:
+            print(e)
+        return qc, refine_type, t_count, t_depth
+
+    try:
+        qc = rationalize_all_rgates(qc, max_denominator=max_denominator,
+                                    angle_threshold=angle_threshold)
+        qc = remove_zero_rgates(qc)
+        if all_rgates_are_rational(qc, int(math.log2(max_denominator))):
+            refine_type = 'Rational'
+    except ValueError as e:
+        if verbose:
+            print(e)
+        return qc, refine_type, t_count, t_depth
+
+    try:
+        qc_sk = solovay_kitaev(qc, recursion_degree=recursion_degree,
+                               recursion_depth=recursion_depth)
+        t_count = qc_sk.gates_count(['t', 'tdg'])
+        t_depth = qc_sk.gates_depth(['t', 'tdg'])
+
+        qc2 = reduce_angles(qc_sk, unitary_loss_func,
+                            reduce_threshold=reduce_threshold,
+                            cp_threshold=cp_threshold)
+        qc2 = rationalize_all_rgates(qc2, max_denominator=max_denominator,
+                                     angle_threshold=angle_threshold)
+        qc2 = remove_zero_rgates(qc2)
+        qc = qc2
+        refine_type = 'Clifford+T'
+    except ValueError as e:
+        if verbose:
+            print(e)
+        return qc, refine_type, None, None
+
+    return qc, refine_type, t_count, t_depth
+
+
+# --------------------------------------------------------------------------
+# Extras kept for parity (reference exact_decompositions.py:347-365)
+# --------------------------------------------------------------------------
+
+def lasso_angles(loss_function, angles, eps: float = 1e-5,
+                 threshold_loss: float = 1e-6):
+    """L1-regularized re-optimization of circuit angles (reference
+    lasso_angles; device-side — this one genuinely optimizes)."""
+    import jax.numpy as jnp
+    from cpflow_tpu.optimize import mynimize_repeated
+    from cpflow_tpu.ops.trig import bracket_angle
+    import jax
+
+    penalty = lambda angs: eps * jnp.abs(jax.vmap(bracket_angle)(angs)).sum()
+    res = mynimize_repeated(
+        loss_function, len(angles), regularization_func=penalty,
+        num_repeats=1, method='adam', learning_rate=0.01,
+        initial_params_batch=jnp.asarray(angles), num_iterations=10000)
+
+    best_i = int(np.argmin(np.asarray(res['regloss'])))
+    best_angs = res['params'][best_i]
+    if not float(res['loss'][best_i]) <= threshold_loss:
+        raise AssertionError('L1 regularization was not successful.')
+    return best_angs

@@ -1,0 +1,206 @@
+"""CP-template candidate pipeline: init, evaluation, projection, verification.
+
+Parity target: reference cpflow/cp_utils.py. Three deliberate TPU-side
+redesigns, all behavior-preserving:
+
+  1. Initial-angle generation is vmapped over per-restart PRNG subkeys with
+     the same ``random.split`` tree as the reference (cp_utils.py:13-42,
+     main.py:541-548), so fixed seeds reproduce identical batches.
+  2. Candidate evaluation (best-iterate selection + CZ counting) is one
+     jitted pass over the whole batch with a single f32/int32 device->host
+     transfer, instead of a per-sample Python loop with ``int()`` syncs
+     (cp_utils.py:59-67,144-202).
+  3. Verification re-optimizes *all* prospective candidates at once: instead
+     of rebuilding a constrained function per candidate (cp_utils.py:80-141),
+     projected CP angles are frozen in place with a gradient mask — every
+     candidate keeps the full parameter vector, CP(0)=Id and CP(pi)=CZ make
+     the frozen unitary exactly the projected circuit's, and the whole set
+     vmaps into one executable (cp_utils.py:205-247 runs them sequentially).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpflow_tpu import config
+from cpflow_tpu.optimize import engine
+from cpflow_tpu.ops.trig import random_angles
+
+
+# --------------------------------------------------------------------------
+# Initial angles
+# --------------------------------------------------------------------------
+
+def random_cp_angles(num_angles, cp_mask, cp_dist='uniform', key=None):
+    """Random initial angles; CP angles optionally zeroed or normal-peaked
+    (reference cp_utils.py:13-42; split structure preserved)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, subkey = jax.random.split(key)
+    rnd = random_angles(num_angles, key=subkey)
+
+    if cp_dist == 'uniform':
+        return rnd
+    elif cp_dist == '0':
+        return rnd * (1 - cp_mask)
+    elif cp_dist == 'normal':
+        key, subkey = jax.random.split(key)
+        normal = jax.random.normal(subkey, shape=(num_angles,),
+                                   dtype=config.real_dtype)
+        return rnd * (1 - cp_mask) + 1.5 * normal * cp_mask
+    raise ValueError(f"cp_dist {cp_dist!r} not supported")
+
+
+def generate_initial_angles_batch(key, num_angles, cp_mask, cp_dist='uniform',
+                                  batch_size=1):
+    """Batch of initial angle vectors, one subkey per restart — identical
+    split tree to the reference (main.py:541-548) but vmapped."""
+    key, *subkeys = jax.random.split(key, num=batch_size + 1)
+    subkeys = jnp.stack(subkeys)
+    return jax.vmap(
+        lambda k: random_cp_angles(num_angles, cp_mask, cp_dist=cp_dist, key=k)
+    )(subkeys)
+
+
+# --------------------------------------------------------------------------
+# CZ counting / projection (vectorized)
+# --------------------------------------------------------------------------
+
+def cz_value(a, threshold=1e-2):
+    """0 if CP angle ~ 0 or 2pi, 1 if ~ pi, else 2 (a CP gate costs 2 CZ);
+    reference cp_utils.py:45-56, vectorized."""
+    a = jnp.asarray(a) % (2 * jnp.pi)
+    near_zero = (a < threshold) | (jnp.abs(a - 2 * jnp.pi) < threshold)
+    near_pi = jnp.abs(a - jnp.pi) < threshold
+    return jnp.where(near_zero, 0, jnp.where(near_pi, 1, 2))
+
+
+def count_cz(angles, threshold=0.2):
+    """Total CZ count of a circuit given its CP angles (cp_utils.py:59-67).
+
+    Accepts a vector of CP angles; returns a traced int32 scalar (callers
+    convert to Python int after batching, not per sample).
+    """
+    return cz_value(angles, threshold=threshold).sum()
+
+
+def project_cp_angles(a, threshold=0.2):
+    """Snap CP angles near pi to pi and near 0/2pi to 0; others unchanged
+    (reference project_cp_angle, cp_utils.py:70-77, vectorized)."""
+    a = jnp.asarray(a) % (2 * jnp.pi)
+    near_pi = jnp.abs(a - jnp.pi) < threshold
+    near_zero = (jnp.abs(a) < threshold) | (jnp.abs(a - 2 * jnp.pi) < threshold)
+    return jnp.where(near_pi, jnp.pi, jnp.where(near_zero, 0.0, a))
+
+
+# --------------------------------------------------------------------------
+# Batched evaluation of raw results
+# --------------------------------------------------------------------------
+
+class EvaluatedBatch(NamedTuple):
+    """Host-side summary of a raw multi-start run (all-real, one transfer)."""
+    cz: np.ndarray       # (B,) int32 — CZ count of projected circuit at best iterate
+    loss: np.ndarray     # (B,) f32  — unregularized loss at best regloss iterate
+    angles: np.ndarray   # (B, P) f32 — angles at best regloss iterate
+
+
+def _evaluate_kernel(params_hist, regloss_hist, loss_hist, cp_mask, threshold):
+    best_i = jnp.argmin(regloss_hist)
+    loss = loss_hist[best_i]
+    angles = params_hist[best_i]
+    cz = count_cz(angles * cp_mask, threshold=threshold).astype(jnp.int32)
+    return cz, loss, angles
+
+
+def evaluate_raw_batch(raw: engine.RawResult, cp_mask, threshold=0.2) -> EvaluatedBatch:
+    """Best-iterate selection + CZ count for every restart in one jitted pass
+    (replaces the reference's per-sample evaluate_cp_result loop,
+    cp_utils.py:144-202)."""
+    cp_mask = jnp.asarray(cp_mask, dtype=config.real_dtype)
+    fn = jax.jit(jax.vmap(
+        lambda p, r, l: _evaluate_kernel(p, r, l, cp_mask, threshold)))
+    cz, loss, angles = fn(raw.params, raw.regloss, raw.loss)
+    return EvaluatedBatch(cz=np.asarray(cz), loss=np.asarray(loss),
+                          angles=np.asarray(angles))
+
+
+def filter_prospective(ev: EvaluatedBatch, threshold_cz_count, threshold_loss):
+    """Indices of candidates below both thresholds, sorted by CZ count
+    (reference filter_cp_results, cp_utils.py:167-202; host-side numpy)."""
+    ok = (ev.cz <= threshold_cz_count) & (ev.loss <= threshold_loss)
+    idx = np.nonzero(ok)[0]
+    order = np.argsort(ev.cz[idx], kind='stable')
+    return idx[order]
+
+
+# --------------------------------------------------------------------------
+# Batched verification
+# --------------------------------------------------------------------------
+
+class VerifiedBatch(NamedTuple):
+    success: np.ndarray      # (C,) bool — best loss under target
+    best_loss: np.ndarray    # (C,) f32
+    best_angles: np.ndarray  # (C, P) f32 — full vector, projected entries frozen
+    cz: np.ndarray           # (C,) int32 — CZ count of the projected circuit
+    frozen: np.ndarray       # (C, P) bool — which entries were projected+frozen
+
+
+def verify_candidates_batch(unitary_loss_func,
+                            u_func,
+                            candidate_angles: np.ndarray,
+                            cp_mask,
+                            threshold_cp: float = 0.2,
+                            method: str = 'adam',
+                            learning_rate: float = 0.01,
+                            num_iterations: int = 5000,
+                            target_loss: float = 1e-6) -> VerifiedBatch:
+    """Project CP angles and re-optimize the remaining free angles for all
+    candidates at once (reference verify_cp_result, cp_utils.py:205-247).
+
+    candidate_angles: (C, P) — best angles of each prospective candidate.
+    Frozen coordinates (projected CP angles) are embedded in the parameter
+    vector and masked out of the gradient; CP(0)/CP(pi) evaluate exactly to
+    Id/CZ so the optimized unitary equals the projected circuit's.
+    """
+    cand = jnp.asarray(candidate_angles, dtype=config.real_dtype)
+    if cand.ndim == 1:
+        cand = cand[None]
+    cp_mask_j = jnp.asarray(cp_mask, dtype=config.real_dtype)
+
+    def prepare(angles):
+        projected = project_cp_angles(angles, threshold=threshold_cp)
+        is_cp = cp_mask_j == 1
+        snapped = (projected == 0.0) | (projected == jnp.pi)
+        frozen = is_cp & snapped
+        init = jnp.where(frozen, projected, angles)
+        return init, frozen
+
+    inits, frozen = jax.vmap(prepare)(cand)
+
+    loss_fn = lambda angs: unitary_loss_func(u_func(angs))
+
+    def chain(init, frz):
+        mask = 1.0 - frz.astype(config.real_dtype)
+        hist, losses = engine.minimize_chain(
+            loss_fn, init, method=method, learning_rate=learning_rate,
+            num_iterations=num_iterations, keep_history=False, grad_mask=mask)
+        best_i = jnp.argmin(losses)
+        return hist[best_i], losses[best_i]
+
+    best_angles, best_losses = jax.jit(jax.vmap(chain))(inits, frozen)
+
+    cz = jax.jit(jax.vmap(
+        lambda a: count_cz(a * cp_mask_j, threshold=threshold_cp).astype(jnp.int32)
+    ))(inits)
+
+    best_losses_np = np.asarray(best_losses)
+    return VerifiedBatch(
+        success=best_losses_np <= target_loss,
+        best_loss=best_losses_np,
+        best_angles=np.asarray(best_angles),
+        cz=np.asarray(cz),
+        frozen=np.asarray(frozen))

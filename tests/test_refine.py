@@ -1,0 +1,124 @@
+"""Clifford+T synthesis and the refine state machine."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cpflow_tpu.circuits import clifford_t as ct
+from cpflow_tpu.circuits import passes, refine as refine_mod
+from cpflow_tpu.circuits.ir import Circuit
+
+
+def word_matrix(word):
+    from cpflow_tpu.circuits.ir import FIXED_GATES
+    m = np.eye(2, dtype=complex)
+    for g in word:  # application order
+        m = FIXED_GATES[g] @ m
+    return m
+
+
+def rz_np(a):
+    return np.diag([np.exp(-1j * a / 2), np.exp(1j * a / 2)])
+
+
+def rx_np(a):
+    c, s = math.cos(a / 2), math.sin(a / 2)
+    return np.array([[c, -1j * s], [-1j * s, c]])
+
+
+@pytest.mark.parametrize("k", range(-8, 9))
+def test_exact_rz_words(k):
+    a = k * math.pi / 4
+    word = ct.exact_rz_word(a)
+    assert word is not None
+    assert passes.hst_distance(word_matrix(word), rz_np(a)) < 1e-12
+
+
+@pytest.mark.parametrize("k", [-3, -1, 0, 1, 2, 3, 4, 5])
+def test_exact_rx_words(k):
+    a = k * math.pi / 4
+    word = ct.exact_rx_word(a)
+    assert word is not None
+    assert passes.hst_distance(word_matrix(word), rx_np(a)) < 1e-12
+
+
+def test_exact_word_rejects_irrational():
+    assert ct.exact_rz_word(1.1) is None
+
+
+def test_basic_approximations_lookup():
+    table = ct.BasicApproximations(depth=6)
+    assert len(table.words) > 50
+    # exact member: T gate itself
+    word, mat = table.nearest(np.diag([1, np.exp(1j * np.pi / 4)]))
+    assert passes.hst_distance(word_matrix(word),
+                               np.diag([1, np.exp(1j * np.pi / 4)])) < 1e-12
+
+
+def test_sk_improves_with_recursion():
+    sk = ct.SolovayKitaev(basic_depth=7)
+    target = rz_np(0.42)
+    w0, m0 = sk.decompose(target, recursion_degree=0)
+    w1, m1 = sk.decompose(target, recursion_degree=1)
+    d0 = passes.hst_distance(word_matrix(w0), target)
+    d1 = passes.hst_distance(word_matrix(w1), target)
+    assert d1 < d0
+    assert d1 < 0.03  # SK converges ~ c * eps^{3/2}; floor set by table depth
+    # returned matrix matches the returned word
+    assert passes.hst_distance(word_matrix(w1), m1) < 1e-9
+
+
+def test_solovay_kitaev_circuit_rational():
+    c = Circuit(2)
+    c.rz(math.pi / 4, 0).rx(-math.pi / 2, 1).cz(0, 1).rz(math.pi, 0)
+    qc = ct.solovay_kitaev(c)
+    assert set(qc.count_ops()) <= {'h', 't', 'tdg', 's', 'sdg', 'z', 'cz'}
+    assert passes.hst_distance(qc.unitary(), c.unitary()) < 1e-10
+
+
+def test_reduce_all_1q_angles_zeroes_redundant():
+    # circuit: rz(a) rz(-a) on same wire -> both removable by merging
+    c = Circuit(1)
+    c.rz(0.7, 0).rx(0.0, 0).rz(-0.7, 0)
+    target = np.eye(2, dtype=complex)
+    loss = lambda u: passes.hst_distance(u, target)
+
+    angles = np.array(c.parameters)
+    wires = c.rotation_wires
+    loss_of = refine_mod._circuit_loss_of_angles(c, loss)
+    reduced = refine_mod.reduce_all_1q_angles(loss_of, angles, wires, 1e-7)
+    assert loss_of(reduced) < 1e-7
+    # first angle folded into third (or zeroed): angle 0 must be 0
+    assert reduced[0] == 0.0
+
+
+def test_refine_pipeline_ccz_like():
+    """A hand-built exact CZ+1q circuit with pi/4 angles refines to
+    Clifford+T with zero loss."""
+    # CZ = CZ; add redundant rotations that must vanish, plus T-type angles
+    c = Circuit(2)
+    c.rz(math.pi / 4 + 1e-7, 0)
+    c.cz(0, 1)
+    c.rz(-math.pi / 4 - 1e-7, 0)  # cancels with first through the diagonal CZ
+    target = c.unitary()
+    loss = lambda u: passes.hst_distance(u, target)
+
+    qc, rtype, t_count, t_depth = refine_mod.refine(c, loss)
+    assert rtype == 'Clifford+T'
+    assert loss(qc.unitary()) < 1e-9
+    # both rotations reduce away -> no T gates at all
+    assert t_count == 0
+
+
+def test_refine_rolls_back_gracefully():
+    """A circuit with a genuinely irrational angle stays Approximate or
+    Rational but never corrupts the unitary."""
+    c = Circuit(2)
+    c.rz(1.113, 0).cz(0, 1).rx(0.456, 1)
+    target = c.unitary()
+    loss = lambda u: passes.hst_distance(u, target)
+
+    qc, rtype, t_count, t_depth = refine_mod.refine(c, loss)
+    assert loss(qc.unitary()) < 1e-5
+    assert rtype in ('Approximate', 'Rational')
