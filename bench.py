@@ -1,0 +1,120 @@
+"""Benchmark: restart-iterations/sec/chip on the flagship synthesis workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference does 1000 samples x 2000 Adam
+iterations at 4-5q in "several minutes" on an RTX 5000 => order 5-15k
+restart-iterations/sec; we use 10k as the published-baseline denominator.
+
+The measured program is the library's fused batch-last hot path
+(sim.batched + the same Adam loop the Synthesize pipeline runs): restarts in
+the minor-most axis, gate applications as VPU broadcast-multiply-sums, the
+whole sweep one jitted executable.
+
+Axon-tunnel rules (see .claude/skills/verify/SKILL.md): persistent compile
+cache, f32 scalar readout as the synchronization point, timing on a second
+invocation so remote-compile time is excluded.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.ops.penalty import cp_penalty_linear
+    from cpflow_tpu.api import LossSpec
+    from cpflow_tpu.sim import batched as bt
+    from cpflow_tpu.sim.ansatz_kernel import (cp_angle_indices,
+                                              num_block_angles)
+    from cpflow_tpu.topology import chain_layer, fill_layers
+
+    num_qubits = 5
+    num_cp_gates = 20
+    rotation_gates = 'xyz'
+    batch = int(os.environ.get('CPFLOW_BENCH_BATCH', 1024))
+    iters = int(os.environ.get('CPFLOW_BENCH_ITERS', 1000))
+
+    placements = fill_layers(chain_layer(num_qubits), num_cp_gates)
+    nba = num_block_angles('cp', rotation_gates)
+    num_angles = 3 * num_qubits + nba * num_cp_gates
+    cp_mask = np.zeros(num_angles, dtype=np.float32)
+    cp_mask[cp_angle_indices(num_qubits, nba, num_cp_gates)] = 1.0
+
+    spec = LossSpec('hst', target=multi_controlled_x(num_qubits))
+    penalty = lambda a: cp_penalty_linear(a, np.pi / 2, 2.0, 0.05, 0.05, 0.05)
+    regloss_fn = bt.make_batched_regloss(
+        num_qubits, 'cp', rotation_gates, placements, spec,
+        cp_mask=jnp.array(cp_mask), regularization_func=penalty, r=0.00055)
+
+    opt = optax.adam(0.1)
+
+    def objective(params_pb):
+        regloss, _ = regloss_fn(params_pb)
+        return regloss.sum(), regloss
+
+    val_grad = jax.value_and_grad(objective, has_aux=True)
+
+    def sweep(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+        inits = jax.vmap(lambda k: jax.random.uniform(
+            k, (num_angles,), minval=0.0, maxval=2 * np.pi,
+            dtype=jnp.float32))(keys)
+        params0 = inits.T  # (P, B), batch minor-most
+
+        def body(i, carry):
+            params, opt_state, best = carry
+            (_, regloss), grads = val_grad(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, jnp.minimum(best, regloss)
+
+        _, _, best = jax.lax.fori_loop(
+            0, iters, body, (params0, opt.init(params0),
+                             jnp.full((batch,), jnp.inf, dtype=jnp.float32)))
+        # scalar summary: the synchronization point for timing
+        return jnp.min(best)
+
+    compiled = jax.jit(sweep)
+
+    t0 = time.time()
+    best0 = float(compiled(0))
+    compile_and_run_s = time.time() - t0
+
+    t0 = time.time()
+    best = float(compiled(1))
+    steady_s = time.time() - t0
+
+    restart_iters_per_sec = batch * iters / steady_s
+    baseline = 10_000.0
+
+    result = {
+        "metric": f"restart-iterations/sec/chip ({num_qubits}q chain, "
+                  f"k={num_cp_gates}, batch={batch})",
+        "value": round(restart_iters_per_sec, 1),
+        "unit": "restart-iter/s",
+        "vs_baseline": round(restart_iters_per_sec / baseline, 2),
+    }
+    print(json.dumps(result))
+
+    if os.environ.get('CPFLOW_BENCH_VERBOSE'):
+        print(f"# compile+first run: {compile_and_run_s:.1f}s, "
+              f"steady: {steady_s:.3f}s, best regloss: {best:.3e}",
+              file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,783 @@
+"""User-facing API: Synthesize, Ansatz, Decomposition, Results, options.
+
+Parity target: reference cpflow/main.py. The public surface (class names,
+option dataclasses with their defaults and required-argument validation, the
+Results persistence contract, the static/adaptive drivers) matches the
+reference so existing workflows port directly; the execution underneath is
+the TPU-native pipeline:
+
+  * one jitted executable per (ansatz, options) configuration runs the whole
+    multi-start Adam sweep, optionally sharded over a device mesh;
+  * candidate evaluation and verification are batched device passes instead
+    of per-sample host loops;
+  * circuits are our own IR (qiskit-free), refinement runs in host float64;
+  * TPE hyperparameter search is self-contained (search.tpe).
+
+Additionally, ``target_state`` is actually implemented — the reference
+advertises it in the Synthesize docstring (main.py:513) but never accepts it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass, field, asdict
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import dill
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cpflow_tpu import config
+from cpflow_tpu.circuits.ir import Circuit, Instruction
+from cpflow_tpu.circuits.passes import cp_to_cz_circuit, convert_to_zxz
+from cpflow_tpu.circuits.refine import refine as refine_circuit, host_loss_adapter
+from cpflow_tpu.ops import gates, losses
+from cpflow_tpu.ops.penalty import make_regularization_function
+from cpflow_tpu.optimize import candidates as cand
+from cpflow_tpu.optimize import engine, unitary_learn
+from cpflow_tpu.parallel import mesh as mesh_lib
+from cpflow_tpu.search import tpe
+from cpflow_tpu.sim import batched as batched_sim
+from cpflow_tpu.sim.ansatz_kernel import (build_unitary, cp_angle_indices,
+                                          num_block_angles, split_angles)
+from cpflow_tpu.topology import fill_layers, num_qubits_from_layer
+
+
+# --------------------------------------------------------------------------
+# Loss specifications
+# --------------------------------------------------------------------------
+
+class LossSpec:
+    """Declarative unitary loss: serializes cleanly (the reference dill-pickles
+    raw closures, which its own tutorial admits is fragile — SURVEY.md §5) and
+    evaluates on either substrate: jax (device pipeline) or numpy (host
+    refinement)."""
+
+    def __init__(self, kind: str, target: Optional[np.ndarray] = None,
+                 fn: Optional[Callable] = None, wires: Optional[list] = None,
+                 num_qubits: Optional[int] = None):
+        self.kind = kind
+        self.target = None if target is None else np.asarray(target)
+        self.fn = fn
+        self.wires = wires
+        self.num_qubits = num_qubits
+
+    def __call__(self, u):
+        if self.kind == 'hst':
+            return losses.cost_HST(u, self.target)
+        if self.kind == 'disc':
+            return losses.disc(u, self.target)
+        if self.kind == 'state':
+            return losses.state_prep_loss(u, self.target)
+        if self.kind == 'modulo_identity':
+            return losses.disc_modulo_identity(self.target, u,
+                                               self.num_qubits, self.wires)
+        if self.kind == 'modulo_diagonal':
+            return losses.disc_modulo_diagonal(self.target, u,
+                                               self.num_qubits, self.wires)
+        return self.fn(u)
+
+    def numpy(self, u: np.ndarray) -> float:
+        t = self.target
+        if self.kind == 'hst':
+            n = t.shape[0]
+            return float(1 - abs((u * t.conj()).sum()) ** 2 / n ** 2)
+        if self.kind == 'disc':
+            n = t.shape[0]
+            return float(1 - abs((u.conj() * t).sum()) / n)
+        if self.kind == 'state':
+            overlap = (t.conj() * u[:, 0]).sum()
+            return float(1 - abs(overlap) ** 2)
+        # modulo/custom: fall back to the jax implementation
+        return float(self(u))
+
+    def __repr__(self):
+        shape = None if self.target is None else self.target.shape
+        return f'LossSpec({self.kind!r}, target_shape={shape})'
+
+
+# --------------------------------------------------------------------------
+# EntanglingBlock / Ansatz
+# --------------------------------------------------------------------------
+
+class EntanglingBlock:
+    """Two-qubit block: entangling gate followed by a per-qubit rotation
+    string (reference main.py:23-82)."""
+
+    @staticmethod
+    def get_num_angles(entangling_gate_name: str, rotation_gates: str) -> int:
+        return num_block_angles(entangling_gate_name, rotation_gates)
+
+    def __init__(self, entangling_gate_name: str, rotation_gates: str, angles):
+        self.entangling_gate_name = entangling_gate_name
+        self.rotation_gates = rotation_gates
+        self.angles = angles
+        self.num_angles = self.get_num_angles(entangling_gate_name, rotation_gates)
+
+    def circuit(self) -> Circuit:
+        qc = Circuit(2)
+        a = np.asarray(self.angles)
+        if self.entangling_gate_name == 'cp':
+            qc.cp(float(a[-1]), 0, 1)
+        else:
+            qc.append(self.entangling_gate_name, (0, 1))
+        for i, letter in enumerate(self.rotation_gates):
+            qc.append('r' + letter, 0, float(a[2 * i]))
+            qc.append('r' + letter, 1, float(a[2 * i + 1]))
+        return qc
+
+    def unitary(self):
+        from cpflow_tpu.sim.ansatz_kernel import block_matrix
+        return block_matrix(self.entangling_gate_name, self.rotation_gates,
+                            jnp.asarray(self.angles, dtype=config.real_dtype))
+
+
+class Ansatz:
+    """Template circuit builder + trainer (reference main.py:149-239).
+
+    Attributes mirror the reference: num_qubits, entangling_gate_name,
+    rotation_gates, placements {'layers': [layer, n], 'free': [...]},
+    all_placements, num_angles, cp_mask, and `.unitary` (a jax-traceable
+    angles->matrix function).
+    """
+
+    def __init__(self, num_qubits: int, entangling_gate_name: str,
+                 placements: dict, rotation_gates: str = 'xyz'):
+        self.num_qubits = num_qubits
+        self.entangling_gate_name = entangling_gate_name
+        self.rotation_gates = rotation_gates
+
+        placements.setdefault('layers', [[], 0])
+        placements.setdefault('free', [])
+        self.placements = placements
+        self.layer, self.num_layers = placements['layers']
+        self.free_placements = placements['free']
+        self.all_placements = list(self.layer) * self.num_layers + list(self.free_placements)
+        self.num_blocks = len(self.all_placements)
+
+        nba = num_block_angles(entangling_gate_name, rotation_gates)
+        self.num_block_angles = nba
+        self.num_angles = 3 * num_qubits + nba * self.num_blocks
+
+        if entangling_gate_name == 'cp':
+            mask = np.zeros(self.num_angles, dtype=np.float32)
+            mask[cp_angle_indices(num_qubits, nba, self.num_blocks)] = 1.0
+            self.cp_mask = jnp.asarray(mask)
+        else:
+            self.cp_mask = None
+
+        self.unitary = lambda angles: build_unitary(
+            self.num_qubits, self.entangling_gate_name, self.rotation_gates,
+            self.placements, angles)
+
+    def circuit(self, angles=None) -> Circuit:
+        """IR circuit at the given angles (reference main.py:193-222).
+        With angles=None, rotation parameters are labelled placeholders."""
+        if angles is None:
+            angles = [_Param(f'a_{i}') for i in range(self.num_angles)]
+        a = list(angles)
+        nba = self.num_block_angles
+
+        qc = Circuit(self.num_qubits)
+        for q in range(self.num_qubits):
+            qc.append('rz', q, a[3 * q + 0])
+            qc.append('rx', q, a[3 * q + 1])
+            qc.append('rz', q, a[3 * q + 2])
+        base = 3 * self.num_qubits
+        for b, p in enumerate(self.all_placements):
+            block = a[base + b * nba: base + (b + 1) * nba]
+            if self.entangling_gate_name == 'cp':
+                qc.append('cp', tuple(p), block[-1])
+            else:
+                qc.append(self.entangling_gate_name, tuple(p))
+            for i, letter in enumerate(self.rotation_gates):
+                qc.append('r' + letter, p[0], block[2 * i])
+                qc.append('r' + letter, p[1], block[2 * i + 1])
+        return qc
+
+    def learn(self, u_target, method='adam', learning_rate=0.1,
+              target_loss=1e-7, keep_history=True, **kwargs):
+        """Multi-start learning of a target unitary (reference main.py:224-239)."""
+        return unitary_learn(self.unitary, u_target, self.num_angles,
+                             method=method, learning_rate=learning_rate,
+                             target_loss=target_loss,
+                             keep_history=keep_history, **kwargs)
+
+
+class _Param(float):
+    """Labelled placeholder parameter for parametrized circuit rendering."""
+    def __new__(cls, name):
+        obj = super().__new__(cls, float('nan'))
+        obj.name = name
+        return obj
+
+    def __repr__(self):
+        return self.name
+
+    def __format__(self, spec):
+        return self.name
+
+
+# --------------------------------------------------------------------------
+# Decomposition
+# --------------------------------------------------------------------------
+
+class Decomposition:
+    """A found decomposition: circuit, loss, CZ metrics, refinement
+    (reference main.py:242-325)."""
+
+    def __init__(self, unitary_loss_func, circuit: Circuit, label: str = '',
+                 type: str = 'Approximate'):
+        self.unitary_loss_func = unitary_loss_func
+        self.circuit = circuit
+        self.unitary = circuit.unitary()
+        self.label = label
+        self.loss = host_loss_adapter(unitary_loss_func)(self.unitary)
+        self.type = type
+        self.cz_count = circuit.gates_count(['cz'])
+        self.cz_depth = circuit.gates_depth(['cz'])
+        self.t_count = None
+        self.t_depth = None
+
+        self._cp_data = None
+        self._static_options = None
+        self._adaptive_options = None
+        self._decomposer = None
+
+    @classmethod
+    def _from_cp_circuit(cls, unitary_loss_func, anz: Ansatz, angles,
+                         label: str = '') -> 'Decomposition':
+        """Build from a verified CP-ansatz angle vector: render the circuit,
+        project CP gates (already frozen to exact 0/pi by verification),
+        convert 1q runs to ZXZ (reference main.py:282-291)."""
+        angles = np.asarray(angles, dtype=float)
+        qc = anz.circuit(list(angles))
+        qc = cp_to_cz_circuit(qc, cp_threshold=1e-6)
+        qc = convert_to_zxz(qc)
+        d = cls(unitary_loss_func, qc, label=label)
+        d._cp_data = [anz.placements, angles]
+        return d
+
+    def refine(self, max_denominator=32, angle_threshold=0.01,
+               cp_threshold=0.01, reduce_threshold=1e-5,
+               recursion_degree=0, recursion_depth=5):
+        """Simplify angles, rationalize, Clifford+T (reference main.py:293-319)."""
+        qc, refine_type, t_count, t_depth = refine_circuit(
+            self.circuit, self.unitary_loss_func,
+            max_denominator=max_denominator,
+            angle_threshold=angle_threshold, cp_threshold=cp_threshold,
+            reduce_threshold=reduce_threshold,
+            recursion_degree=recursion_degree,
+            recursion_depth=recursion_depth)
+
+        self.type = refine_type
+        self.circuit = qc
+        self.unitary = qc.unitary()
+        self.loss = host_loss_adapter(self.unitary_loss_func)(self.unitary)
+        self.cz_count = qc.gates_count(['cz'])
+        self.cz_depth = qc.gates_depth(['cz'])
+        if refine_type == 'Clifford+T':
+            self.t_count = t_count
+            self.t_depth = t_depth
+        return f'Refined to {refine_type}'
+
+    def __repr__(self):
+        description = (f"< {self.label}| {self.type} | loss: {self.loss}  "
+                       f"| CZ count: {self.cz_count} | CZ depth: {self.cz_depth}  >")
+        if self.type == 'Clifford+T':
+            description = (description[:-1]
+                           + f'| T count: {self.t_count} | T depth: {self.t_depth} >')
+        return description
+
+
+# --------------------------------------------------------------------------
+# Options
+# --------------------------------------------------------------------------
+
+@dataclass
+class RegularizationOptions:
+    function: str = 'linear'
+    ymax: float = 2
+    xmax: float = math.pi / 2
+    plato_0: float = 0.05
+    plato_1: float = 0.05
+    plato_2: float = 0.05
+
+
+@dataclass
+class BasicOptions:
+    """Options shared by static and adaptive synthesis (reference
+    main.py:338-367; identical fields and defaults)."""
+    num_samples: int = 100
+    method: str = 'adam'
+    learning_rate: float = 0.1
+    num_gd_iterations: int = 2000
+    cp_distribution: str = 'uniform'
+    entry_loss: float = 1e-3
+    target_loss: float = 1e-6
+    threshold_cp: float = 0.2
+    learning_rate_at_verification: float = 0.01
+    num_gd_iterations_at_verification: int = 5000
+    random_seed: int = 0
+    rotation_gates: str = 'xyz'
+
+
+@dataclass
+class StaticOptions(BasicOptions):
+    """Static synthesis options (reference main.py:370-388)."""
+    num_cp_gates: int = -1
+    r: float = 0.00055
+    accepted_num_cz_gates: int = -1
+
+    def __post_init__(self):
+        if self.num_cp_gates == -1:
+            raise TypeError("Missing required argument 'num_cp_gates'")
+        if self.accepted_num_cz_gates == -1:
+            raise TypeError("Missing required argument 'accepted_num_cz_gates'")
+
+
+@dataclass
+class AdaptiveOptions(BasicOptions):
+    """Adaptive synthesis options (reference main.py:391-426)."""
+    min_num_cp_gates: int = -1
+    max_num_cp_gates: int = -1
+    r_mean: float = 0.00055
+    r_variance: float = 0.5
+    max_evals: int = 100
+    target_num_cz_gates: int = 0
+    stop_if_target_reached: bool = False
+    keep_logs: bool = False
+
+    def __post_init__(self):
+        if self.min_num_cp_gates == -1:
+            raise TypeError("Missing required argument 'min_num_cp_gates'")
+        if self.max_num_cp_gates == -1:
+            raise TypeError("Missing required argument 'max_num_cp_gates'")
+
+    def get_static(self, num_cp_gates, r) -> StaticOptions:
+        default_static = asdict(BasicOptions())
+        options_dict = asdict(self)
+        basic = {k: v for k, v in options_dict.items() if k in default_static}
+        basic['num_cp_gates'] = num_cp_gates
+        basic['r'] = r
+        basic['accepted_num_cz_gates'] = None
+        return StaticOptions(**basic)
+
+
+# --------------------------------------------------------------------------
+# Results
+# --------------------------------------------------------------------------
+
+@dataclass
+class Results:
+    """Persistent store of trials + decompositions (reference main.py:429-502)."""
+    loss_function: Any
+    layer: list
+    label: str = ''
+    trials: Any = None
+    decompositions: tuple = ()
+    save_to: str = ''
+
+    def __post_init__(self):
+        if self.save_to == '':
+            self.save_to = f'results/{self.label}'
+
+    def save(self):
+        os.makedirs(os.path.dirname(self.save_to) or '.', exist_ok=True)
+        with open(self.save_to, 'wb') as f:
+            dill.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> 'Results':
+        with open(path, 'rb') as f:
+            return dill.load(f)
+
+    def best_hyperparameters(self) -> List[List]:
+        """[num_cp_gates, r] pairs ordered by increasing score
+        (reference main.py:471-477)."""
+        results = sorted(self.trials.results, key=lambda res: res['loss'])
+        return [[res['num_cp_gates'], res['r']] for res in results]
+
+    def plot_trials(self):
+        """(k, r) -> score scatter (reference main.py:479-502)."""
+        import matplotlib.pyplot as plt
+        results = self.trials.results
+        num = np.array([res['num_cp_gates'] for res in results], dtype=float)
+        r = np.array([res['r'] for res in results], dtype=float)
+        loss = np.array([res['loss'] for res in results], dtype=float)
+
+        finite = np.isfinite(loss)
+        n_best, r_best = self.best_hyperparameters()[0]
+
+        plt.scatter(num[finite], r[finite], c=loss[finite], cmap='jet',
+                    edgecolors='black')
+        plt.colorbar()
+        plt.scatter(num[~finite], r[~finite], marker='x', color='red')
+        plt.scatter([n_best], [r_best], marker='*', facecolors='gold',
+                    edgecolors='black', s=[250])
+        plt.xlabel('Number of CP gates')
+        plt.ylabel('r: regularization weight')
+        plt.title('Score')
+
+
+# --------------------------------------------------------------------------
+# Synthesize
+# --------------------------------------------------------------------------
+
+class Synthesize:
+    """Automated synthesis of unitaries into CZ + 1q rotations
+    (reference main.py:505-864).
+
+    Args (reference-compatible, plus target_state which the reference
+    documents but never implemented, and mesh for TPU scale-out):
+        layer: connectivity pairs, e.g. [[0,1],[1,2]].
+        unitary_loss_func: custom loss on the unitary (callable or LossSpec).
+        target_unitary: sets the loss to HS-test distance to this matrix.
+        target_state: sets the loss to 1 - |<target|U|0>|^2.
+        label: name used for persistence.
+        cp_regularization_func: per-angle CP penalty (default: piecewise
+            linear with RegularizationOptions defaults).
+        mesh: jax.sharding.Mesh to shard the restart batch over ('auto' =
+            all visible devices when more than one; None = single device).
+    """
+
+    def __init__(self, layer, unitary_loss_func=None, target_unitary=None,
+                 target_state=None, label=None, cp_regularization_func=None,
+                 mesh='auto'):
+        self.layer = layer
+        self.num_qubits = num_qubits_from_layer(layer)
+        self.target_unitary = target_unitary
+
+        if unitary_loss_func is not None:
+            if isinstance(unitary_loss_func, LossSpec):
+                self.unitary_loss_func = unitary_loss_func
+            else:
+                self.unitary_loss_func = LossSpec('custom', fn=unitary_loss_func)
+        elif target_unitary is not None:
+            d = 2 ** self.num_qubits
+            assert np.shape(target_unitary) == (d, d), \
+                'Number of qubits in target unitary and layer do not match.'
+            self.unitary_loss_func = LossSpec('hst', target=target_unitary)
+        elif target_state is not None:
+            d = 2 ** self.num_qubits
+            assert np.shape(target_state) == (d,), \
+                'Number of qubits in target state and layer do not match.'
+            self.unitary_loss_func = LossSpec('state', target=target_state)
+        else:
+            raise AssertionError(
+                'Neither unitary loss function nor target unitary/state is provided.')
+
+        self.label = label
+        if cp_regularization_func:
+            self.cp_regularization_func = cp_regularization_func
+        else:
+            self.cp_regularization_func = make_regularization_function(
+                RegularizationOptions)
+
+        if mesh == 'auto':
+            devices = jax.devices()
+            self.mesh = mesh_lib.restart_mesh(devices) if len(devices) > 1 else None
+        else:
+            self.mesh = mesh
+
+    def __getstate__(self):
+        # Device handles are process-local and unpicklable; decompositions
+        # carry their _decomposer for provenance (reference main.py:634), so
+        # drop the mesh on serialization and rebuild on next use.
+        state = self.__dict__.copy()
+        state['mesh'] = None
+        return state
+
+    # -- internals ----------------------------------------------------------
+
+    def _ansatz(self, options) -> Ansatz:
+        return Ansatz(self.num_qubits, 'cp',
+                      fill_layers(self.layer, options.num_cp_gates),
+                      options.rotation_gates)
+
+    def _loss_and_reg(self, anz: Ansatz, options):
+        loss_func = lambda angles: self.unitary_loss_func(anz.unitary(angles))
+        reg_func = lambda angs: options.r * self.cp_regularization_func(
+            angs * anz.cp_mask).sum()
+        return loss_func, reg_func
+
+    @staticmethod
+    def _plot_raw(res):
+        """Plot regloss/loss/reg learning curves of one restart
+        (reference main.py:550-556; needs keep_history=True histories)."""
+        import matplotlib.pyplot as plt
+        plt.plot(np.asarray(res['regloss']), label='regloss')
+        plt.plot(np.asarray(res['loss']), label='loss')
+        plt.plot(np.asarray(res['reg']), label='reg')
+        plt.yscale('log')
+        plt.legend()
+
+    @staticmethod
+    def _generate_initial_angles(key, num_angles, cp_mask, cp_dist='uniform',
+                                 batch_size=1):
+        return cand.generate_initial_angles_batch(
+            key, num_angles, cp_mask, cp_dist=cp_dist, batch_size=batch_size)
+
+    def _generate_raw(self, options, initial_angles_array=None,
+                      keep_history=False) -> engine.RawResult:
+        """Multi-start raw sampling stage (reference main.py:558-587):
+        one jitted executable, restart axis optionally sharded over the mesh.
+
+        The default 'adam' method takes the fused batch-last kernel
+        (sim.batched) — restarts minor-most, no per-restart dot_generals;
+        other methods (preconditioned / coordinate descent) take the generic
+        vmapped engine.
+        """
+        anz = self._ansatz(options)
+
+        batch_size = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        if initial_angles_array is None:
+            key = jax.random.PRNGKey(options.random_seed)
+            initial_angles_array = self._generate_initial_angles(
+                key, anz.num_angles, anz.cp_mask,
+                cp_dist=options.cp_distribution, batch_size=batch_size)
+
+        sharding = mesh_lib.restart_sharding(self.mesh) if self.mesh else None
+
+        if options.method == 'adam':
+            regloss_fn = batched_sim.make_batched_regloss(
+                self.num_qubits, 'cp', options.rotation_gates, anz.placements,
+                self.unitary_loss_func, cp_mask=anz.cp_mask,
+                regularization_func=self.cp_regularization_func, r=options.r)
+            return engine.minimize_fused(
+                regloss_fn, initial_angles_array,
+                learning_rate=options.learning_rate,
+                num_iterations=options.num_gd_iterations,
+                keep_history=keep_history, sharding=sharding)
+
+        loss_func, reg_func = self._loss_and_reg(anz, options)
+        return engine.minimize_multistart(
+            loss_func, initial_angles_array, method=options.method,
+            learning_rate=options.learning_rate,
+            num_iterations=options.num_gd_iterations,
+            keep_history=keep_history, regularization_func=reg_func,
+            u_func=anz.unitary, sharding=sharding)
+
+    def _evaluate_raw(self, raw: engine.RawResult, options) -> cand.EvaluatedBatch:
+        anz = self._ansatz(options)
+        return cand.evaluate_raw_batch(raw, anz.cp_mask,
+                                       threshold=options.threshold_cp)
+
+    def _verify(self, anz: Ansatz, angles_batch: np.ndarray, options
+                ) -> cand.VerifiedBatch:
+        return cand.verify_candidates_batch(
+            self.unitary_loss_func, anz.unitary, angles_batch, anz.cp_mask,
+            threshold_cp=options.threshold_cp,
+            method=options.method,
+            learning_rate=options.learning_rate_at_verification,
+            num_iterations=options.num_gd_iterations_at_verification,
+            target_loss=options.target_loss, anz=anz)
+
+    def _initialize_results(self, save_results, save_to) -> Results:
+        results = Results(self.unitary_loss_func, self.layer, label=self.label)
+        if save_results:
+            assert self.label or save_to, \
+                'To save results on disk either `label` or `save_to` must be ' \
+                'provided. If you insist on not saving the results call the ' \
+                'decomposition routine with `save_results=False` flag.'
+            if save_to:
+                results.save_to = save_to
+            try:
+                results = Results.load(results.save_to)
+            except FileNotFoundError:
+                pass
+        return results
+
+    def _make_decomposition(self, anz: Ansatz, best_angles,
+                            static_options=None, adaptive_options=None
+                            ) -> Decomposition:
+        d = Decomposition._from_cp_circuit(self.unitary_loss_func, anz,
+                                           best_angles, self.label)
+        d._static_options = static_options
+        d._adaptive_options = adaptive_options
+        d._decomposer = self
+        return d
+
+    # -- static -------------------------------------------------------------
+
+    def static(self, options: StaticOptions, save_results=True, save_to='',
+               verbose=True) -> Results:
+        """Fixed-template synthesis (reference main.py:637-693)."""
+        def log(msg):
+            if verbose:
+                print(msg, flush=True)
+
+        results = self._initialize_results(save_results, save_to)
+        log(f'\nStarting decomposition routine with the following options:\n{options}')
+
+        log('\nComputing raw results...')
+        raw = self._generate_raw(options)
+
+        log('\nSelecting prospective results...')
+        ev = self._evaluate_raw(raw, options)
+        prospective = cand.filter_prospective(
+            ev, threshold_cz_count=options.accepted_num_cz_gates,
+            threshold_loss=options.entry_loss)
+
+        successful: List[Decomposition] = []
+        if len(prospective):
+            log(f'\nFound {len(prospective)}. Verifying...')
+            anz = self._ansatz(options)
+            ver = self._verify(anz, ev.angles[prospective], options)
+            for pos in range(len(prospective)):
+                if ver.success[pos]:
+                    d = self._make_decomposition(anz, ver.best_angles[pos],
+                                                 static_options=options)
+                    successful.append(d)
+            if successful:
+                log(f'\n{len(successful)} successful. cz counts are:')
+                log(sorted([d.cz_count for d in successful]))
+                results.decompositions = list(results.decompositions) + successful
+                if save_results:
+                    results.save()
+            else:
+                log('\nAll prospective results failed.')
+        else:
+            log('\nNo results passed.')
+
+        return results
+
+    # -- adaptive -------------------------------------------------------------
+
+    def adaptive(self, options: AdaptiveOptions, save_results=True,
+                 save_to='', verbose=True) -> Results:
+        """TPE-adaptive synthesis over (num_cp_gates, r)
+        (reference main.py:695-864)."""
+        def log(msg):
+            if verbose:
+                print(msg, flush=True)
+
+        log(f'\nStarting decomposition routine with the following options:\n{options}')
+
+        space = [
+            tpe.QUniformInt('num_cp_gates', options.min_num_cp_gates,
+                            options.max_num_cp_gates, 1),
+            tpe.LogNormal('r', math.log(options.r_mean), options.r_variance),
+        ]
+
+        results = self._initialize_results(save_results, save_to)
+        if results.trials is not None:
+            log('\nFound existing trials, resuming from here.')
+            trials = results.trials
+            random_seed = trials.results[-1]['random_seed']
+            num_existing = len(trials.results)
+        else:
+            trials = tpe.Trials()
+            random_seed = options.random_seed
+            num_existing = 0
+
+        if results.decompositions:
+            scoreboard = sorted(set(d.cz_count for d in results.decompositions))
+        else:
+            scoreboard = [losses.theoretical_lower_bound(self.num_qubits)]
+
+        if num_existing >= options.max_evals:
+            log('Maximum number of evaluations reached.')
+
+        def objective(random_seed, search_params):
+            num_cp_gates, r = int(search_params[0]), float(search_params[1])
+            log(f'\nnum_cp_gates: {num_cp_gates}, r: {r}')
+            static_options = options.get_static(num_cp_gates, r)
+            static_options.random_seed = random_seed
+
+            raw = self._generate_raw(static_options)
+            ev = self._evaluate_raw(raw, static_options)
+            prospective = cand.filter_prospective(
+                ev, threshold_cz_count=float('inf'),
+                threshold_loss=static_options.entry_loss)
+            cz_counts = [int(ev.cz[i]) for i in prospective]
+
+            # score: soft-min of cz counts, normalized per sample, log scale
+            # (reference main.py:735-737)
+            batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+            score_val = np.sum(2.0 ** (-np.array(cz_counts, dtype=np.float64)))
+            with np.errstate(divide='ignore'):
+                score = float(np.log2(score_val / batch))
+
+            log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
+
+            ret = {
+                'loss': -score,
+                'status': 'ok',
+                'random_seed': random_seed,
+                'cz_counts': cz_counts,
+                'num_cp_gates': num_cp_gates,
+                'r': r,
+                'layer': self.layer,
+                'prospective_decompositions':
+                    [[int(ev.cz[i]), ev.angles[i]] for i in prospective],
+            }
+            return ret
+
+        rng = np.random.default_rng(int(random_seed))
+        for i in range(num_existing, options.max_evals):
+            log('\n' + '-' * 42)
+            log(f'iteration {i}/{options.max_evals}')
+
+            _, subkey = jax.random.split(jax.random.PRNGKey(random_seed))
+            random_seed = int(subkey[1])
+            rng = np.random.default_rng(random_seed)
+
+            values = tpe.suggest(space, trials, rng)
+            result = objective(random_seed, values)
+            trials.record(values, result)
+
+            results.trials = trials
+            if save_results:
+                results.save()
+
+            current_best_cz = scoreboard[0]
+            last = trials.results[-1]
+            num_cp_gates, r = last['num_cp_gates'], last['r']
+            prospect_list = last['prospective_decompositions']
+            if not options.keep_logs:
+                last.pop('prospective_decompositions')
+
+            to_verify = [[cz, angles] for cz, angles in prospect_list
+                         if cz < current_best_cz]
+            if to_verify:
+                log(f'\nFound {len(to_verify)} decompositions potentially '
+                    f'improving the current best count {current_best_cz}, '
+                    f'verifying...')
+            else:
+                log(f'\nFound no decompositions potentially improving the '
+                    f'current best count {current_best_cz}.')
+
+            if to_verify:
+                anz = self._ansatz(options.get_static(num_cp_gates, r))
+                angles_batch = np.stack([a for _, a in to_verify])
+                ver = self._verify(anz, angles_batch,
+                                   options.get_static(None, None))
+                found = False
+                for pos in range(len(to_verify)):
+                    if ver.success[pos]:
+                        num_cz = int(ver.cz[pos])
+                        log(f'\nFound a new decomposition with {num_cz} gates.')
+                        scoreboard.insert(0, num_cz)
+                        d = self._make_decomposition(
+                            anz, ver.best_angles[pos],
+                            adaptive_options=options,
+                            static_options=options.get_static(num_cp_gates, r))
+                        results.decompositions = list(results.decompositions) + [d]
+                        if save_results:
+                            results.save()
+                        found = True
+                        break
+                if not found:
+                    log('\nNone of prospective decompositions passed.')
+
+            if options.stop_if_target_reached and \
+                    scoreboard[0] <= options.target_num_cz_gates:
+                log('\nTarget number of gates reached.')
+                break
+
+        return results

@@ -94,6 +94,41 @@ def _circuit_loss_of_angles(qc: Circuit, host_loss) -> Callable[[np.ndarray], fl
     return loss
 
 
+def polish_angles(loss_of_angles: Callable[[np.ndarray], float],
+                  angles: np.ndarray,
+                  frozen: Optional[np.ndarray] = None,
+                  sweeps: int = 3) -> np.ndarray:
+    """Exact coordinate descent on rotation angles: any circuit loss is
+    F0 cos x + F1 sin x + c in each angle, so three evaluations give the
+    closed-form optimum (trigonometric_utils.py:7-25, on the host).
+
+    Used after greedy reduction: the committed zeroings each drift the loss
+    by up to `threshold`, and the drift accumulates toward the rationalize
+    stage's tolerance; polishing the surviving (non-frozen) angles restores
+    machine-precision loss without changing the gate count."""
+    angles = np.array(angles, dtype=float)
+    if frozen is None:
+        frozen = np.zeros(len(angles), dtype=bool)
+    for _ in range(sweeps):
+        for i in range(len(angles)):
+            if frozen[i]:
+                continue
+            def f(x):
+                t = angles.copy()
+                t[i] = x
+                return loss_of_angles(t)
+            f0, f1, f2 = f(0.0), f(math.pi / 2), f(math.pi)
+            c = (f0 + f2) / 2.0
+            a, b = f0 - c, f1 - c
+            if a == 0.0 and b == 0.0:
+                continue  # loss independent of this angle
+            # argmin of a cos x + b sin x + c is x = atan2(b, a) + pi
+            x_min = math.atan2(b, a) + math.pi
+            if f(x_min) < loss_of_angles(angles):
+                angles[i] = _bracket(x_min)
+    return angles
+
+
 def reduce_angles(circuit: Circuit, unitary_loss_func,
                   reduce_threshold: float = 1e-5,
                   cp_threshold: float = 0.01) -> Circuit:
@@ -106,10 +141,13 @@ def reduce_angles(circuit: Circuit, unitary_loss_func,
     angles = np.array(qc.parameters, dtype=float)
     wires = qc.rotation_wires
 
-    reduced = reduce_all_1q_angles(
-        _circuit_loss_of_angles(qc, host_loss), angles, wires,
-        threshold=reduce_threshold)
-    qc = qc.with_rotation_angles([_bracket(a) for a in reduced])
+    loss_of = _circuit_loss_of_angles(qc, host_loss)
+    reduced = reduce_all_1q_angles(loss_of, angles, wires,
+                                   threshold=reduce_threshold)
+    # polish the surviving angles back to machine-precision loss (zeroed
+    # angles stay frozen so the greedy reduction is preserved)
+    polished = polish_angles(loss_of, reduced, frozen=(reduced == 0.0))
+    qc = qc.with_rotation_angles([_bracket(a) for a in polished])
 
     check_loss(qc, host_loss, threshold_loss=reduce_threshold)
     return qc

@@ -67,6 +67,40 @@ def generate_initial_angles_batch(key, num_angles, cp_mask, cp_dist='uniform',
 
 
 # --------------------------------------------------------------------------
+# Parameter-freezing helpers (reference cp_utils.py:80-108)
+# --------------------------------------------------------------------------
+
+def insert_params(params, insertion_params, insertion_indices, jax_numpy=True):
+    """Merge `insertion_params` into `params` at `insertion_indices`
+    (reference insert_params, cp_utils.py:80-97). Example:
+    params=[0,1,2,3], insertion=[-1,-2,-4], indices=[0,2,4]
+    -> [-1, 0, -2, 1, -4, 2, 3]."""
+    total = len(params) + len(insertion_params)
+    param_indices = [i for i in range(total) if i not in insertion_indices]
+    if jax_numpy:
+        res = jnp.zeros(total, dtype=config.real_dtype)
+        res = res.at[jnp.array(param_indices)].set(jnp.asarray(params))
+        res = res.at[jnp.array(list(insertion_indices))].set(
+            jnp.asarray(insertion_params))
+        return res
+    res = np.zeros(total)
+    res[param_indices] = np.asarray(params)
+    res[list(insertion_indices)] = np.asarray(insertion_params)
+    return res
+
+
+def constrained_function(f, fixed_params, indices, jax_numpy=True):
+    """f with the parameters at `indices` fixed (reference
+    constrained_function, cp_utils.py:100-108). The batched verification path
+    uses gradient masks instead, but this form remains useful for ad-hoc
+    constrained optimization."""
+    def cf(free_params):
+        return f(insert_params(free_params, fixed_params, indices,
+                               jax_numpy=jax_numpy))
+    return cf
+
+
+# --------------------------------------------------------------------------
 # CZ counting / projection (vectorized)
 # --------------------------------------------------------------------------
 
@@ -157,7 +191,8 @@ def verify_candidates_batch(unitary_loss_func,
                             method: str = 'adam',
                             learning_rate: float = 0.01,
                             num_iterations: int = 5000,
-                            target_loss: float = 1e-6) -> VerifiedBatch:
+                            target_loss: float = 1e-6,
+                            anz=None) -> VerifiedBatch:
     """Project CP angles and re-optimize the remaining free angles for all
     candidates at once (reference verify_cp_result, cp_utils.py:205-247).
 
@@ -181,17 +216,35 @@ def verify_candidates_batch(unitary_loss_func,
 
     inits, frozen = jax.vmap(prepare)(cand)
 
-    loss_fn = lambda angs: unitary_loss_func(u_func(angs))
+    if method == 'adam' and anz is not None:
+        # fused batch-last path (restarts minor-most, no tiny dot_generals)
+        from cpflow_tpu.sim import batched as batched_sim
+        regloss_fn = batched_sim.make_batched_regloss(
+            anz.num_qubits, anz.entangling_gate_name, anz.rotation_gates,
+            anz.placements, unitary_loss_func)
+        mask = 1.0 - frozen.astype(config.real_dtype)  # (C, P)
+        raw = engine.minimize_fused(
+            regloss_fn, inits, learning_rate=learning_rate,
+            num_iterations=num_iterations, keep_history=False,
+            grad_mask=mask)
+        best_idx = jnp.argmin(raw.regloss, axis=1)  # over [initial, best]
+        best_angles = jnp.take_along_axis(
+            raw.params, best_idx[:, None, None], axis=1)[:, 0]
+        best_losses = jnp.take_along_axis(raw.regloss, best_idx[:, None],
+                                          axis=1)[:, 0]
+    else:
+        loss_fn = lambda angs: unitary_loss_func(u_func(angs))
 
-    def chain(init, frz):
-        mask = 1.0 - frz.astype(config.real_dtype)
-        hist, losses = engine.minimize_chain(
-            loss_fn, init, method=method, learning_rate=learning_rate,
-            num_iterations=num_iterations, keep_history=False, grad_mask=mask)
-        best_i = jnp.argmin(losses)
-        return hist[best_i], losses[best_i]
+        def chain(init, frz):
+            mask = 1.0 - frz.astype(config.real_dtype)
+            hist, losses = engine.minimize_chain(
+                loss_fn, init, method=method, learning_rate=learning_rate,
+                num_iterations=num_iterations, keep_history=False,
+                grad_mask=mask)
+            best_i = jnp.argmin(losses)
+            return hist[best_i], losses[best_i]
 
-    best_angles, best_losses = jax.jit(jax.vmap(chain))(inits, frozen)
+        best_angles, best_losses = jax.jit(jax.vmap(chain))(inits, frozen)
 
     cz = jax.jit(jax.vmap(
         lambda a: count_cz(a * cp_mask_j, threshold=threshold_cp).astype(jnp.int32)

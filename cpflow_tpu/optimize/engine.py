@@ -215,6 +215,104 @@ class RawResult:
         return d
 
 
+def minimize_fused(regloss_and_loss_batch: Callable,
+                   initial_params_batch,
+                   learning_rate: float = 0.1,
+                   num_iterations: int = 5000,
+                   keep_history: bool = False,
+                   grad_mask=None,
+                   sharding=None) -> RawResult:
+    """Fused batch-last multi-start Adam: the TPU hot path.
+
+    regloss_and_loss_batch: f(params_PB) -> (regloss_B, loss_B), typically
+    from sim.batched.make_batched_regloss. The whole sweep is ONE
+    non-vmapped jitted program over (P, B) parameters with the restart batch
+    minor-most (Adam moments are elementwise, so the update is naturally
+    batched); per-restart gradients come from differentiating sum_b regloss_b
+    (restarts are independent, so the sum's gradient separates).
+
+    grad_mask: optional (B, P) 0/1 mask freezing coordinates (verification).
+    Returns a RawResult with the same [initial, best] stacking contract as
+    the vmapped path (reference optimization.py:61-94).
+    """
+    initial = jnp.asarray(initial_params_batch, dtype=config.real_dtype)
+    batched = initial.ndim == 2
+    if not batched:
+        initial = initial[None]
+
+    mask_pb = None
+    if grad_mask is not None:
+        mask_pb = jnp.asarray(grad_mask, dtype=config.real_dtype).T  # (P, B)
+
+    opt = optax.adam(learning_rate)
+
+    def objective(params_pb):
+        regloss, loss = regloss_and_loss_batch(params_pb)
+        return regloss.sum(), (regloss, loss)
+
+    val_grad = jax.value_and_grad(objective, has_aux=True)
+
+    def full(initial_bp):
+        params0 = initial_bp.T  # (P, B)
+        opt_state = opt.init(params0)
+
+        def update(params, opt_state):
+            (_, (regloss, loss)), grads = val_grad(params)
+            if mask_pb is not None:
+                grads = grads * mask_pb
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, regloss, loss
+
+        if keep_history:
+            def step(carry, _):
+                params, opt_state = carry
+                new_params, opt_state, regloss, loss = update(params, opt_state)
+                return (new_params, opt_state), (params, regloss, loss)
+
+            _, (params_hist, regloss_hist, loss_hist) = lax.scan(
+                step, (params0, opt_state), None, length=num_iterations)
+            # (T, P, B) -> (B, T, P); (T, B) -> (B, T)
+            return (jnp.transpose(params_hist, (2, 0, 1)),
+                    regloss_hist.T, loss_hist.T)
+        else:
+            regloss0, loss0 = regloss_and_loss_batch(params0)
+
+            def body(i, carry):
+                (params, best_params, prev, best_reg, best_loss, opt_state) = carry
+                new_params, opt_state, regloss, loss = update(params, opt_state)
+                improved = regloss < best_reg
+                best_reg = jnp.where(improved, regloss, best_reg)
+                best_loss = jnp.where(improved, loss, best_loss)
+                best_params = jnp.where(improved[None, :], params, best_params)
+                return (new_params, best_params, regloss, best_reg, best_loss,
+                        opt_state)
+
+            carry = (params0, params0, regloss0, regloss0, loss0, opt_state)
+            (_, best_params, _, best_reg, best_loss, _) = lax.fori_loop(
+                0, num_iterations, body, carry)
+
+            params_hist = jnp.stack([params0.T, best_params.T], axis=1)  # (B,2,P)
+            regloss_hist = jnp.stack([regloss0, best_reg], axis=1)       # (B,2)
+            loss_hist = jnp.stack([loss0, best_loss], axis=1)
+            return params_hist, regloss_hist, loss_hist
+
+    if sharding is not None:
+        initial = jax.device_put(initial, sharding)
+        compiled = jax.jit(full, in_shardings=sharding)
+    else:
+        compiled = jax.jit(full)
+
+    params_hist, regloss_hist, loss_hist = compiled(initial)
+    reg_hist = regloss_hist - loss_hist
+
+    if not batched:
+        params_hist, regloss_hist, loss_hist, reg_hist = (
+            params_hist[0], regloss_hist[0], loss_hist[0], reg_hist[0])
+
+    return RawResult(params=params_hist, regloss=regloss_hist,
+                     loss=loss_hist, reg=reg_hist, batched=batched)
+
+
 def _make_preconditioner(method, loss_func, u_func):
     if method == 'natural adam' or method == 'natural gd':
         if u_func is None:
@@ -271,7 +369,8 @@ def minimize_multistart(loss_func,
                         u_func=None,
                         grad_mask=None,
                         compute_losses: bool = True,
-                        sharding=None) -> RawResult:
+                        sharding=None,
+                        batch_axis: int = 0) -> RawResult:
     """Batched multi-start minimization: the reference's mynimize_repeated
     (optimization.py:269-382) as one jitted executable.
 
@@ -279,6 +378,10 @@ def minimize_multistart(loss_func,
     sharding: optional jax.sharding.NamedSharding for the batch axis; when
     given, inputs are placed with it and the compiled computation shards the
     restart batch across the mesh.
+    batch_axis: 0 vmaps restarts over the leading axis; -1 vmaps over the
+    trailing axis, which makes the (large) restart dimension minor-most so
+    TPU 8x128 vector tiles fill with restarts instead of 2-element unitary
+    legs. Results are returned batch-leading either way.
     """
     initial = jnp.asarray(initial_params_batch, dtype=config.real_dtype)
     batched = initial.ndim == 2
@@ -298,9 +401,18 @@ def minimize_multistart(loss_func,
                               grad_mask=grad_mask)
 
     def full(batch):
-        params_hist, regloss_hist = jax.vmap(chain)(batch)
+        if batch_axis == 0:
+            params_hist, regloss_hist = jax.vmap(chain)(batch)
+            reg_in = params_hist
+        else:
+            params_hist, regloss_hist = jax.vmap(
+                chain, in_axes=-1, out_axes=-1)(batch.T)
+            # normalize to batch-leading for downstream consumers
+            params_hist = jnp.moveaxis(params_hist, -1, 0)
+            regloss_hist = jnp.moveaxis(regloss_hist, -1, 0)
+            reg_in = params_hist
         if compute_losses and regularization_func is not None:
-            reg_hist = jax.vmap(jax.vmap(regularization_func))(params_hist)
+            reg_hist = jax.vmap(jax.vmap(regularization_func))(reg_in)
             loss_hist = regloss_hist - reg_hist
         else:
             reg_hist = None

@@ -1,0 +1,181 @@
+"""End-to-end API tests: Synthesize static/adaptive, Decomposition, Results,
+Ansatz — small workloads on the 8-device virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpflow_tpu import (Ansatz, AdaptiveOptions, Decomposition, LossSpec,
+                        Results, StaticOptions, Synthesize)
+from cpflow_tpu.ops import gates
+from cpflow_tpu.topology import chain_layer
+
+
+CZ_LAYER = [[0, 1]]
+
+
+def make_static_options(**kw):
+    defaults = dict(num_cp_gates=2, accepted_num_cz_gates=3, num_samples=8,
+                    num_gd_iterations=400, rotation_gates='xz',
+                    num_gd_iterations_at_verification=1500)
+    defaults.update(kw)
+    return StaticOptions(**defaults)
+
+
+def test_static_options_validation():
+    with pytest.raises(TypeError):
+        StaticOptions()
+    with pytest.raises(TypeError):
+        StaticOptions(num_cp_gates=5)
+    with pytest.raises(TypeError):
+        AdaptiveOptions(min_num_cp_gates=2)
+
+
+def test_synthesize_requires_loss():
+    with pytest.raises(AssertionError):
+        Synthesize(CZ_LAYER)
+    with pytest.raises(AssertionError):
+        Synthesize(CZ_LAYER, target_unitary=np.eye(8))  # wrong size
+
+
+def test_static_cz_end_to_end(tmp_path):
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_test')
+    options = make_static_options()
+    results = s.static(options, save_results=True,
+                       save_to=str(tmp_path / 'cz_results'), verbose=False)
+    assert len(results.decompositions) > 0
+    d = results.decompositions[0]
+    assert d.loss < 1e-5
+    assert 1 <= d.cz_count <= 3
+    # persistence round trip
+    loaded = Results.load(str(tmp_path / 'cz_results'))
+    assert len(loaded.decompositions) == len(results.decompositions)
+    assert loaded.decompositions[0].cz_count == d.cz_count
+    # loss function survives serialization
+    assert float(loaded.loss_function.numpy(d.unitary)) < 1e-5
+
+
+def test_static_accepts_explicit_mesh():
+    from cpflow_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.restart_mesh()
+    assert mesh.devices.size == 8
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_mesh',
+                   mesh=mesh)
+    results = s.static(make_static_options(), save_results=False, verbose=False)
+    assert len(results.decompositions) > 0
+
+
+def test_target_state_bell():
+    """State preparation objective (advertised-but-missing in the reference)."""
+    bell = np.zeros(4, dtype=np.complex64)
+    bell[0] = bell[3] = 1 / np.sqrt(2)
+    s = Synthesize(CZ_LAYER, target_state=bell, label='bell', mesh=None)
+    results = s.static(make_static_options(num_cp_gates=1,
+                                           accepted_num_cz_gates=1),
+                       save_results=False, verbose=False)
+    assert len(results.decompositions) > 0
+    d = results.decompositions[0]
+    produced = d.unitary[:, 0]
+    fidelity = abs(np.vdot(bell, produced)) ** 2
+    assert fidelity > 1 - 1e-5
+
+
+def test_decomposition_refine():
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_ref',
+                   mesh=None)
+    results = s.static(make_static_options(), save_results=False, verbose=False)
+    d = results.decompositions[0]
+    cz_before = d.cz_count
+    msg = d.refine()
+    assert 'Refined to' in msg
+    assert d.loss < 1e-5
+    assert d.cz_count <= cz_before
+    if d.type == 'Clifford+T':
+        assert d.t_count is not None
+
+
+def test_ansatz_circuit_matches_unitary():
+    from cpflow_tpu.topology import fill_layers
+    anz = Ansatz(2, 'cp', fill_layers(CZ_LAYER, 2), rotation_gates='xz')
+    rng = np.random.default_rng(0)
+    angles = rng.uniform(0, 2 * np.pi, anz.num_angles)
+    u_dev = np.asarray(anz.unitary(jnp.array(angles, dtype=jnp.float32)))
+    u_host = anz.circuit(list(angles)).unitary()
+    assert np.max(np.abs(u_dev - u_host)) < 1e-4
+
+
+def test_ansatz_parametrized_circuit_draw():
+    from cpflow_tpu.topology import fill_layers
+    anz = Ansatz(2, 'cp', fill_layers(CZ_LAYER, 1), rotation_gates='x')
+    qc = anz.circuit()
+    s = qc.draw()
+    assert 'a_0' in s
+
+
+def test_ansatz_learn():
+    from cpflow_tpu.topology import fill_layers
+    anz = Ansatz(2, 'cp', fill_layers(CZ_LAYER, 2), rotation_gates='xz')
+    res = anz.learn(jnp.array(gates.cz_mat), num_repeats=4,
+                    keep_history=False, num_iterations=400)
+    best = min(float(r['loss'][1]) for r in res)
+    assert best < 1e-5
+
+
+def test_adaptive_mini_run(tmp_path):
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                           max_evals=3, num_samples=8,
+                           num_gd_iterations=300, rotation_gates='xz',
+                           num_gd_iterations_at_verification=1000)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_adapt',
+                   mesh=None)
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'adapt'), verbose=False)
+    assert len(results.trials.results) == 3
+    for rec in results.trials.results:
+        assert 'loss' in rec and 'num_cp_gates' in rec and 'r' in rec
+    # resume: asking for 4 evals continues from the saved 3
+    opts4 = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                            max_evals=4, num_samples=8,
+                            num_gd_iterations=300, rotation_gates='xz',
+                            num_gd_iterations_at_verification=1000)
+    results2 = s.adaptive(opts4, save_results=True,
+                          save_to=str(tmp_path / 'adapt'), verbose=False)
+    assert len(results2.trials.results) == 4
+    hp = results2.best_hyperparameters()
+    assert len(hp) == 4 and len(hp[0]) == 2
+
+
+def test_losspec_kinds():
+    u = np.asarray(gates.cz_mat, dtype=complex)
+    spec = LossSpec('hst', target=u)
+    assert float(spec(jnp.array(u))) == pytest.approx(0.0, abs=1e-6)
+    assert spec.numpy(u) == pytest.approx(0.0, abs=1e-12)
+    spec_d = LossSpec('disc', target=u)
+    assert spec_d.numpy(u) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_generate_raw_keep_history_and_plot(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_hist',
+                   mesh=None)
+    options = make_static_options(num_samples=4, num_gd_iterations=50)
+    raw = s._generate_raw(options, keep_history=True)
+    r0 = raw[0]
+    assert r0['regloss'].shape == (50,)
+    assert r0['params'].shape[0] == 50
+    np.testing.assert_allclose(np.asarray(r0['regloss']),
+                               np.asarray(r0['loss'] + r0['reg']), atol=1e-5)
+    s._plot_raw(r0)  # smoke
+
+
+def test_throughput_counter():
+    from cpflow_tpu.utils.profiling import Throughput
+    th = Throughput()
+    with th.section(10, 100, label='raw'):
+        pass
+    assert th.restart_iterations == 1000
+    assert 'raw' in th.report()

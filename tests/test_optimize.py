@@ -205,3 +205,20 @@ def test_evaluate_and_filter_and_verify_end_to_end():
     assert ver.success.any(), f"verification failed: {ver.best_loss}"
     # the successful candidate implements CZ with at least one real CZ gate
     assert (ver.cz[ver.success] >= 1).all()
+
+
+def test_batch_axis_trailing_matches_leading():
+    """batch_axis=-1 (TPU-tile-friendly layout) must give identical results."""
+    from cpflow_tpu.optimize.engine import minimize_multistart
+    inits = jnp.stack([jnp.zeros(3), jnp.ones(3) * 4, -2 * jnp.ones(3)])
+    reg = lambda p: 0.05 * jnp.abs(p).sum()
+    a = minimize_multistart(quadratic, inits, learning_rate=0.2,
+                            num_iterations=100, keep_history=False,
+                            regularization_func=reg, batch_axis=0)
+    b = minimize_multistart(quadratic, inits, learning_rate=0.2,
+                            num_iterations=100, keep_history=False,
+                            regularization_func=reg, batch_axis=-1)
+    np.testing.assert_allclose(np.asarray(a.params), np.asarray(b.params),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.regloss), np.asarray(b.regloss),
+                               atol=1e-5)

@@ -122,3 +122,40 @@ def test_refine_rolls_back_gracefully():
     qc, rtype, t_count, t_depth = refine_mod.refine(c, loss)
     assert loss(qc.unitary()) < 1e-5
     assert rtype in ('Approximate', 'Rational')
+
+
+def test_polish_angles_restores_precision():
+    """Perturbed pi/4 angles polish back to the exact optimum."""
+    c = Circuit(2)
+    c.rz(math.pi / 4, 0).cz(0, 1).rx(math.pi / 2, 1)
+    target = c.unitary()
+    loss = lambda u: passes.hst_distance(u, target)
+
+    perturbed = Circuit(2)
+    perturbed.rz(math.pi / 4 + 3e-3, 0).cz(0, 1).rx(math.pi / 2 - 2e-3, 1)
+    loss_of = refine_mod._circuit_loss_of_angles(perturbed, loss)
+    angles = np.array(perturbed.parameters)
+    assert loss_of(angles) > 1e-6
+    polished = refine_mod.polish_angles(loss_of, angles)
+    assert loss_of(polished) < 1e-12
+    np.testing.assert_allclose(polished, [math.pi / 4, math.pi / 2], atol=1e-6)
+
+
+def test_refine_reaches_clifford_t_from_noisy_angles():
+    """A circuit whose angles are *nearly* pi/4 multiples (as produced by a
+    converged-but-not-exact verification run) must still refine to
+    Clifford+T: the polish step recovers the exact values."""
+    c = Circuit(2)
+    c.rz(math.pi / 4 + 2e-4, 0)
+    c.cz(0, 1)
+    c.rx(-math.pi / 2 + 1e-4, 1)
+    c.rz(math.pi + 3e-4, 1)
+    exact = Circuit(2)
+    exact.rz(math.pi / 4, 0).cz(0, 1).rx(-math.pi / 2, 1).rz(math.pi, 1)
+    target = exact.unitary()
+    loss = lambda u: passes.hst_distance(u, target)
+
+    qc, rtype, t_count, t_depth = refine_mod.refine(c, loss)
+    assert rtype == 'Clifford+T'
+    assert loss(qc.unitary()) < 1e-10
+    assert t_count == 1  # one pi/4 rotation survives as a single T

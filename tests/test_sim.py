@@ -207,3 +207,34 @@ def test_trig_min_angle():
         # compare function values (argmin may differ by 2pi)
         assert float(F(a)) == pytest.approx(
             f0 * np.cos(brute) + f1 * np.sin(brute) + c, abs=1e-3)
+
+
+def test_circuit_to_jax_unitary_roundtrip():
+    """Parity with reference qiskit_circ_to_jax_unitary (circuit_assembly.py:48-81)."""
+    import jax.numpy as jnp
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.sim.circuit_exec import circuit_to_jax_unitary
+
+    c = Circuit(3)
+    c.rz(0.3, 0).h(1).cz(0, 1).rx(1.2, 2).cp(2.0, 1, 2).ry(0.5, 1).t(0)
+    u_func, angles, wires = circuit_to_jax_unitary(c)
+    assert wires == [0, 2, 1]
+    assert len(angles) == 3
+    u = np.asarray(u_func(jnp.array(angles, dtype=jnp.float32)))
+    np.testing.assert_allclose(u, c.unitary(), atol=1e-5)
+    # different angles -> different unitary, still unitary
+    u2 = np.asarray(u_func(jnp.array([1.0, 2.0, 3.0], dtype=jnp.float32)))
+    np.testing.assert_allclose(u2 @ u2.conj().T, np.eye(8), atol=1e-5)
+
+
+def test_insert_params_and_constrained_function():
+    import jax.numpy as jnp
+    from cpflow_tpu.optimize.candidates import insert_params, constrained_function
+
+    res = insert_params(jnp.array([0., 1., 2., 3.]),
+                        jnp.array([-1., -2., -4.]), [0, 2, 4])
+    np.testing.assert_allclose(np.asarray(res), [-1, 0, -2, 1, -4, 2, 3])
+
+    f = lambda xs: (xs ** 2).sum()
+    cf = constrained_function(f, jnp.array([1., 10.]), [0, 2])
+    assert float(cf(jnp.array([2.]))) == pytest.approx(1 + 4 + 100)
