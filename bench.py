@@ -56,9 +56,11 @@ def main():
 
     spec = LossSpec('hst', target=multi_controlled_x(num_qubits))
     penalty = lambda a: cp_penalty_linear(a, np.pi / 2, 2.0, 0.05, 0.05, 0.05)
+    reversible = bool(int(os.environ.get('CPFLOW_BENCH_REVERSIBLE', '1')))
     regloss_fn = bt.make_batched_regloss(
         num_qubits, 'cp', rotation_gates, placements, spec,
-        cp_mask=jnp.array(cp_mask), regularization_func=penalty, r=0.00055)
+        cp_mask=jnp.array(cp_mask), regularization_func=penalty, r=0.00055,
+        reversible=reversible)
 
     opt = optax.adam(0.1)
 

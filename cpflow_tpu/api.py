@@ -547,7 +547,8 @@ class Synthesize:
             regloss_fn = batched_sim.make_batched_regloss(
                 self.num_qubits, 'cp', options.rotation_gates, anz.placements,
                 self.unitary_loss_func, cp_mask=anz.cp_mask,
-                regularization_func=self.cp_regularization_func, r=options.r)
+                regularization_func=self.cp_regularization_func, r=options.r,
+                reversible=True)
             return engine.minimize_fused(
                 regloss_fn, initial_angles_array,
                 learning_rate=options.learning_rate,

@@ -221,7 +221,7 @@ def verify_candidates_batch(unitary_loss_func,
         from cpflow_tpu.sim import batched as batched_sim
         regloss_fn = batched_sim.make_batched_regloss(
             anz.num_qubits, anz.entangling_gate_name, anz.rotation_gates,
-            anz.placements, unitary_loss_func)
+            anz.placements, unitary_loss_func, reversible=True)
         mask = 1.0 - frozen.astype(config.real_dtype)  # (C, P)
         raw = engine.minimize_fused(
             regloss_fn, inits, learning_rate=learning_rate,

@@ -134,8 +134,14 @@ def _apply_gate_batched(gate, u, placement: Sequence[int], n: int):
     perm = placement + others + [n, n + 1]
     ut = jnp.transpose(u, perm).reshape(dim_g, rest * col, B)
 
-    # out[p, r, b] = sum_k gate[p, k, b] * ut[k, r, b]
-    out = (gate[:, :, None, :] * ut[None, :, :, :]).sum(axis=1)
+    # out[p, r, b] = sum_k gate[p, k, b] * ut[k, r, b], unrolled over the
+    # length-4 contraction as explicit adds: keeps the whole application a
+    # pure elementwise expression (no reduce op), so XLA can fuse
+    # consecutive gate applications instead of round-tripping the unitary
+    # through HBM at every block.
+    out = gate[:, 0, None, :] * ut[0][None, :, :]
+    for kk in range(1, dim_g):
+        out = out + gate[:, kk, None, :] * ut[kk][None, :, :]
 
     out = out.reshape([2] * n + [col, B])
     # inverse permutation
@@ -187,6 +193,118 @@ def build_unitary_batched(num_qubits: int, entangling_gate_name: str,
         u = _apply_gate_batched(g, u, p, n)
 
     return u
+
+
+# --------------------------------------------------------------------------
+# Reversible (storage-free) backward pass
+# --------------------------------------------------------------------------
+
+def make_reversible_builder(num_qubits: int, entangling_gate_name: str,
+                            rotation_gates: str, placements: dict):
+    """build_unitary_batched with a custom VJP that exploits unitarity:
+    instead of storing every intermediate state for the backward pass (what
+    autodiff through the gate chain does — k tensors of B x 4^n complex per
+    loss evaluation), the backward pass reconstructs each intermediate by
+    applying inverse gates while walking the chain backwards. This trades a
+    little recompute for eliminating residual HBM traffic — the classic
+    reversible-network trick, a natural fit since every gate is unitary.
+
+    Gradients agree with autodiff to f32 roundoff (intermediates reconstruct
+    through <=k unitary applications).
+    """
+    layer, num_layers = placements['layers']
+    free_placements = list(placements['free'])
+    layer_depth = len(layer)
+    nba = num_block_angles(entangling_gate_name, rotation_gates)
+    n = num_qubits
+
+    def forward(angles):
+        return build_unitary_batched(num_qubits, entangling_gate_name,
+                                     rotation_gates, placements, angles)
+
+    def _dagger(g):
+        return jnp.conj(jnp.swapaxes(g, 0, 1))
+
+    def _block_step_back(u_after, u_bar, a, p):
+        """One reverse step through a 2q block: reconstruct the pre-gate
+        state, pull the cotangent back, get the block-angle cotangent."""
+        g = block_matrix_batched(entangling_gate_name, rotation_gates, a)
+        u_before = _apply_gate_batched(_dagger(g), u_after, p, n)
+
+        def apply_fn(aa, uu):
+            gg = block_matrix_batched(entangling_gate_name, rotation_gates, aa)
+            return _apply_gate_batched(gg, uu, p, n)
+
+        _, pull = jax.vjp(apply_fn, a, u_before)
+        a_bar, u_bar_prev = pull(u_bar)
+        return u_before, u_bar_prev, a_bar
+
+    def _surface_step_back(u_after, u_bar, a3, q):
+        g = surface_gate_batched(a3)
+        u_before = _apply_gate_batched(_dagger(g), u_after, [q], n)
+
+        def apply_fn(aa, uu):
+            return _apply_gate_batched(surface_gate_batched(aa), uu, [q], n)
+
+        _, pull = jax.vjp(apply_fn, a3, u_before)
+        a_bar, u_bar_prev = pull(u_bar)
+        return u_before, u_bar_prev, a_bar
+
+    def fwd(angles):
+        u = forward(angles)
+        return u, (angles, u)
+
+    def bwd(res, u_bar):
+        angles, u = res
+        angles = jnp.asarray(angles, dtype=config.real_dtype)
+        B = angles.shape[-1]
+
+        surface = angles[:3 * n].reshape(n, 3, B)
+        block_angles = angles[3 * n:].reshape(-1, nba, B)
+        layers_angles = block_angles[:layer_depth * num_layers].reshape(
+            num_layers, layer_depth, nba, B)
+        free_angles = block_angles[layer_depth * num_layers:]
+
+        # free blocks, last applied first
+        free_bars = [None] * len(free_placements)
+        for j in reversed(range(len(free_placements))):
+            u, u_bar, a_bar = _block_step_back(u, u_bar, free_angles[j],
+                                               free_placements[j])
+            free_bars[j] = a_bar
+
+        # layers, reversed scan
+        if num_layers > 0 and layer_depth > 0:
+            def layer_back(carry, la):
+                u, u_bar = carry
+                bars = [None] * layer_depth
+                for j in reversed(range(layer_depth)):
+                    u, u_bar, a_bar = _block_step_back(u, u_bar, la[j], layer[j])
+                    bars[j] = a_bar
+                return (u, u_bar), jnp.stack(bars)
+
+            (u, u_bar), layer_bars = lax.scan(layer_back, (u, u_bar),
+                                              layers_angles, reverse=True)
+        else:
+            layer_bars = jnp.zeros((num_layers, layer_depth, nba, B),
+                                   dtype=config.real_dtype)
+
+        # surface round, last qubit first
+        surf_bars = [None] * n
+        for q in reversed(range(n)):
+            u, u_bar, a_bar = _surface_step_back(u, u_bar, surface[q], q)
+            surf_bars[q] = a_bar
+
+        d_angles = jnp.concatenate([
+            jnp.stack(surf_bars).reshape(3 * n, B),
+            layer_bars.reshape(layer_depth * num_layers * nba, B),
+            (jnp.stack(free_bars).reshape(-1, B) if free_bars
+             else jnp.zeros((0, B), dtype=config.real_dtype)),
+        ], axis=0)
+        return (d_angles,)
+
+    rev = jax.custom_vjp(forward)
+    rev.defvjp(fwd, bwd)
+    return rev
 
 
 # --------------------------------------------------------------------------
@@ -243,12 +361,20 @@ def make_batched_regloss(num_qubits: int, entangling_gate_name: str,
                          rotation_gates: str, placements: dict,
                          unitary_loss_func,
                          cp_mask=None, regularization_func=None,
-                         r: float = 0.0) -> Callable:
+                         r: float = 0.0, reversible: bool = False) -> Callable:
     """Returns f(angles_PB) -> (regloss_B, loss_B): the fused hot-path
-    objective (loss + r * sum(penalty(cp angles)))."""
+    objective (loss + r * sum(penalty(cp angles))). reversible=True swaps in
+    the storage-free custom-VJP builder (see make_reversible_builder)."""
+    if reversible:
+        builder = make_reversible_builder(num_qubits, entangling_gate_name,
+                                          rotation_gates, placements)
+    else:
+        builder = lambda angles: build_unitary_batched(
+            num_qubits, entangling_gate_name, rotation_gates, placements,
+            angles)
+
     def f(angles):
-        u = build_unitary_batched(num_qubits, entangling_gate_name,
-                                  rotation_gates, placements, angles)
+        u = builder(angles)
         loss = batched_unitary_loss(unitary_loss_func, u)
         if regularization_func is not None and cp_mask is not None:
             masked = angles * cp_mask[:, None]

@@ -179,3 +179,31 @@ def test_throughput_counter():
         pass
     assert th.restart_iterations == 1000
     assert 'raw' in th.report()
+
+
+def test_plot_trials_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
+                           max_evals=2, num_samples=4,
+                           num_gd_iterations=100, rotation_gates='x',
+                           num_gd_iterations_at_verification=200)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='plot_smoke')
+    results = s.adaptive(opts, save_results=False, verbose=False)
+    results.plot_trials()
+    plt.close('all')
+
+
+def test_qiskit_interop_gated():
+    from cpflow_tpu.circuits import interop
+    from cpflow_tpu.circuits.ir import Circuit
+    c = Circuit(2).h(0).cz(0, 1).rz(0.5, 1)
+    if interop.QISKIT_AVAILABLE:
+        qc = interop.to_qiskit(c)
+        back = interop.from_qiskit(qc)
+        np.testing.assert_allclose(back.unitary(), c.unitary(), atol=1e-12)
+    else:
+        with pytest.raises(ImportError):
+            interop.to_qiskit(c)

@@ -171,3 +171,43 @@ def test_minimize_fused_sharded_matches_unsharded():
                                np.asarray(sharded.regloss), atol=1e-5)
     np.testing.assert_allclose(np.asarray(plain.params),
                                np.asarray(sharded.params), atol=1e-4)
+
+
+def test_reversible_builder_gradients_match_autodiff():
+    """Storage-free custom VJP must agree with autodiff gradients."""
+    for n, k, rot, layer_fn in [(2, 2, 'xz', chain_layer),
+                                (3, 5, 'xyz', chain_layer)]:
+        placements = fill_layers(layer_fn(n), k)
+        nba = num_block_angles('cp', rot)
+        P = 3 * n + nba * k
+        spec = LossSpec('hst', target=(gates.cz_mat if n == 2 else gates.u_ccz3))
+
+        plain = bt.make_batched_regloss(n, 'cp', rot, placements, spec)
+        rev = bt.make_batched_regloss(n, 'cp', rot, placements, spec,
+                                      reversible=True)
+
+        rng = np.random.default_rng(2)
+        angles = jnp.array(rng.uniform(0, 2 * np.pi, (P, 4)).astype(np.float32))
+
+        f_plain = lambda a: plain(a)[0].sum()
+        f_rev = lambda a: rev(a)[0].sum()
+        v1, g1 = jax.value_and_grad(f_plain)(angles)
+        v2, g2 = jax.value_and_grad(f_rev)(angles)
+        assert float(v1) == pytest.approx(float(v2), abs=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_reversible_fused_minimization_converges():
+    n, k, rot = 2, 2, 'xz'
+    placements = fill_layers(chain_layer(n), k)
+    nba = num_block_angles('cp', rot)
+    P = 3 * n + nba * k
+    spec = LossSpec('hst', target=gates.cz_mat)
+    regloss_fn = bt.make_batched_regloss(n, 'cp', rot, placements, spec,
+                                         reversible=True)
+    rng = np.random.default_rng(3)
+    inits = jnp.array(rng.uniform(0, 2 * np.pi, (8, P)).astype(np.float32))
+    raw = engine.minimize_fused(regloss_fn, inits, learning_rate=0.1,
+                                num_iterations=400, keep_history=False)
+    assert float(np.asarray(raw.regloss[:, 1]).min()) < 1e-5
