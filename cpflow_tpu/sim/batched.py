@@ -134,14 +134,10 @@ def _apply_gate_batched(gate, u, placement: Sequence[int], n: int):
     perm = placement + others + [n, n + 1]
     ut = jnp.transpose(u, perm).reshape(dim_g, rest * col, B)
 
-    # out[p, r, b] = sum_k gate[p, k, b] * ut[k, r, b], unrolled over the
-    # length-4 contraction as explicit adds: keeps the whole application a
-    # pure elementwise expression (no reduce op), so XLA can fuse
-    # consecutive gate applications instead of round-tripping the unitary
-    # through HBM at every block.
-    out = gate[:, 0, None, :] * ut[0][None, :, :]
-    for kk in range(1, dim_g):
-        out = out + gate[:, kk, None, :] * ut[kk][None, :, :]
+    # out[p, r, b] = sum_k gate[p, k, b] * ut[k, r, b]
+    # (measured on v5e: the reduce form beats an unrolled-adds variant —
+    # XLA fuses the small reduction fine and the unroll bloats the VJP graph)
+    out = (gate[:, :, None, :] * ut[None, :, :, :]).sum(axis=1)
 
     out = out.reshape([2] * n + [col, B])
     # inverse permutation
