@@ -1,0 +1,475 @@
+"""Pallas TPU kernel: the ENTIRE multi-start Adam sweep in one kernel.
+
+Motivation (measured, see RESULTS_r1.md): the XLA fused path is bound by
+HBM round-trips of the (4^n, B) unitary at every gate application — each
+application's reduction ends a fusion, so forward+backward moves ~75 tensors
+of 8 MB per iteration through HBM. This kernel keeps EVERYTHING in
+VMEM/registers for the whole sweep: each grid program takes a block of
+restarts (lane-sized, 128) and runs all T Adam iterations — forward chain,
+hand-derived adjoint backward (sim/adjoint.py math, validated against
+autodiff), penalty, and the Adam update — before writing back one (P, 128)
+parameter block and per-restart loss summaries. HBM traffic per sweep is
+O(P*B) instead of O(T * k * 4^n * B).
+
+Complex arithmetic is explicit (re, im) f32 pairs — TPU Pallas has no
+complex dtype. The restart batch stays minor-most throughout (lanes);
+unitary legs live in sublanes, so leg transposes are cheap in-VMEM
+relayouts.
+
+The kernel is numerically equivalent to engine.minimize_fused with
+reversible=True (same [initial, best] contract); tests compare against it
+in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpflow_tpu.sim.ansatz_kernel import num_block_angles
+
+LANES = 128  # restarts per grid program
+
+
+# --------------------------------------------------------------------------
+# complex-as-pairs helpers: every value is a tuple (re, im) of f32 arrays
+# --------------------------------------------------------------------------
+
+def _cmul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _cadd(a, b):
+    return a[0] + b[0], a[1] + b[1]
+
+
+def _conj(a):
+    return a[0], -a[1]
+
+
+def _cscale(s, a):
+    return s * a[0], s * a[1]
+
+
+# --------------------------------------------------------------------------
+# small batched gate algebra on (..., B) pairs
+# --------------------------------------------------------------------------
+
+def _rot_pair(letter: str, a):
+    """(2,2,B) rotation matrix as an (re, im) pair; a: (B,)."""
+    c, s = jnp.cos(a / 2), jnp.sin(a / 2)
+    z = jnp.zeros_like(c)
+    if letter == 'x':
+        re = jnp.stack([jnp.stack([c, z]), jnp.stack([z, c])])
+        im = jnp.stack([jnp.stack([z, -s]), jnp.stack([-s, z])])
+    elif letter == 'y':
+        re = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+        im = jnp.stack([jnp.stack([z, z]), jnp.stack([z, z])])
+    elif letter == 'z':
+        re = jnp.stack([jnp.stack([c, z]), jnp.stack([z, c])])
+        im = jnp.stack([jnp.stack([-s, z]), jnp.stack([z, s])])
+    else:
+        raise ValueError(letter)
+    return re, im
+
+
+def _rot_deriv_pair(letter: str, a, rot_pair):
+    """dR/da = (-i/2) P R."""
+    re, im = rot_pair
+    if letter == 'x':
+        # -i/2 X (re+i im) = -i/2 (X re + i X im) = (1/2)(X im) - i/2 (X re)
+        # X @ m swaps the two rows; spelled as stack (mosaic lacks `rev`)
+        xre = jnp.stack([re[1], re[0]])
+        xim = jnp.stack([im[1], im[0]])
+        return 0.5 * xim, -0.5 * xre
+    if letter == 'y':
+        # Y = [[0,-i],[i,0]]; (Y m)_0k = -i m_1k ; (Y m)_1k = i m_0k
+        yre = jnp.stack([im[1], -im[0]])
+        yim = jnp.stack([-re[1], re[0]])
+        return 0.5 * yim, -0.5 * yre
+    if letter == 'z':
+        # Z @ m negates the second row; spelled as stack (mosaic rejects the
+        # (2,1,1)-iota broadcast form with a verifier error)
+        zre = jnp.stack([re[0], -re[1]])
+        zim = jnp.stack([im[0], -im[1]])
+        return 0.5 * zim, -0.5 * zre
+    raise ValueError(letter)
+
+
+def _mm_pair(a, b):
+    """(m,k,B) @ (k,n,B) pair matmul via broadcast-mul-sum."""
+    def mm(x, y):
+        return (x[:, :, None, :] * y[None, :, :, :]).sum(axis=1)
+    re = mm(a[0], b[0]) - mm(a[1], b[1])
+    im = mm(a[0], b[1]) + mm(a[1], b[0])
+    return re, im
+
+
+def _kron_pair(a, b):
+    def kr(x, y):
+        B = x.shape[-1]
+        return (x[:, None, :, None, :] * y[None, :, None, :, :]).reshape(4, 4, B)
+    re = kr(a[0], b[0]) - kr(a[1], b[1])
+    im = kr(a[0], b[1]) + kr(a[1], b[0])
+    return re, im
+
+
+def _iota_eye(d):
+    """Identity matrix built from iota ops (no captured constants)."""
+    r = lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    c = lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _onehot33():
+    """(4,4,1) indicator of entry (3,3), built from iota (no scatters —
+    mosaic lacks dynamic_slice/update in this context)."""
+    r = lax.broadcasted_iota(jnp.int32, (4, 4, 1), 0)
+    c = lax.broadcasted_iota(jnp.int32, (4, 4, 1), 1)
+    return ((r == 3) & (c == 3)).astype(jnp.float32)
+
+
+def _cp_pair(a):
+    """CP(a) = diag(1,1,1,e^{ia}) as (4,4,B) pair."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    oh = _onehot33()
+    eye = _iota_eye(4)[:, :, None]
+    re = eye + (c[None, None, :] - 1.0) * oh
+    im = s[None, None, :] * oh
+    return re, im
+
+
+def _cp_deriv_pair(a):
+    """dCP/da = diag(0,0,0, i e^{ia})."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    oh = _onehot33()
+    return -s[None, None, :] * oh, c[None, None, :] * oh
+
+
+def _block_and_grads_pair(rotation_gates: str, block_angles):
+    """Block gate G and [dG/dtheta_j] as (4,4,B) pairs
+    (math of adjoint.block_matrix_and_grads)."""
+    m = len(rotation_gates)
+    cp_idx = block_angles.shape[0] - 1  # positive index: mosaic lowers
+    e = _cp_pair(block_angles[cp_idx])  # negative indexing to dynamic_slice
+    de = _cp_deriv_pair(block_angles[cp_idx])
+
+    ks, dks = [], []
+    for i, letter in enumerate(rotation_gates):
+        up = _rot_pair(letter, block_angles[2 * i])
+        down = _rot_pair(letter, block_angles[2 * i + 1])
+        dup = _rot_deriv_pair(letter, block_angles[2 * i], up)
+        ddown = _rot_deriv_pair(letter, block_angles[2 * i + 1], down)
+        ks.append(_kron_pair(up, down))
+        dks.append((_kron_pair(dup, down), _kron_pair(up, ddown)))
+
+    suffix = [e]
+    for i in range(m):
+        suffix.append(_mm_pair(ks[i], suffix[-1]))
+    g = suffix[-1]
+
+    B = block_angles.shape[-1]
+    eye_re = jnp.broadcast_to(_iota_eye(4)[:, :, None], (4, 4, B))
+    acc = (eye_re, jnp.zeros_like(eye_re))
+    prefix = [None] * m
+    for i in reversed(range(m)):
+        prefix[i] = acc
+        acc = _mm_pair(acc, ks[i])
+
+    grads = []
+    for i in range(m):
+        dk_up, dk_down = dks[i]
+        grads.append(_mm_pair(_mm_pair(prefix[i], dk_up), suffix[i]))
+        grads.append(_mm_pair(_mm_pair(prefix[i], dk_down), suffix[i]))
+    grads.append(_mm_pair(acc, de))
+    return g, grads
+
+
+def _surface_and_grads_pair(a3):
+    r0 = _rot_pair('z', a3[0]); d0 = _rot_deriv_pair('z', a3[0], r0)
+    r1 = _rot_pair('x', a3[1]); d1 = _rot_deriv_pair('x', a3[1], r1)
+    r2 = _rot_pair('z', a3[2]); d2 = _rot_deriv_pair('z', a3[2], r2)
+    g = _mm_pair(_mm_pair(r2, r1), r0)
+    return g, [_mm_pair(_mm_pair(r2, r1), d0),
+               _mm_pair(_mm_pair(r2, d1), r0),
+               _mm_pair(_mm_pair(d2, r1), r0)]
+
+
+# --------------------------------------------------------------------------
+# gate application / cotangent contractions on the (2,)*n+(col,B) pair state
+# --------------------------------------------------------------------------
+
+def _apply_pair(gate, u, placement, n, conj_transpose=False, transpose=False):
+    """Left-multiply a (4,4,B)/(2,2,B) pair gate into the pair state."""
+    gre, gim = gate
+    if transpose or conj_transpose:
+        gre = jnp.swapaxes(gre, 0, 1)
+        gim = jnp.swapaxes(gim, 0, 1)
+    if conj_transpose:
+        gim = -gim
+    k = len(placement)
+    dim_g = 2 ** k
+    placement = list(placement)
+    others = [q for q in range(n) if q not in placement]
+    perm = placement + others + [n, n + 1]
+    inv = np.argsort(np.array(perm))
+    B = u[0].shape[-1]
+
+    def one(x):
+        return jnp.transpose(x, perm).reshape(dim_g, -1, B)
+
+    ure, uim = one(u[0]), one(u[1])
+
+    def contract(g, x):
+        return (g[:, :, None, :] * x[None, :, :, :]).sum(axis=1)
+
+    out_re = contract(gre, ure) - contract(gim, uim)
+    out_im = contract(gre, uim) + contract(gim, ure)
+    shape = [2] * n + [u[0].shape[n], B]
+
+    def back(x):
+        return jnp.transpose(x.reshape(shape), inv)
+
+    return back(out_re), back(out_im)
+
+
+def _gate_cotangent_pair(m_cot, a_state, placement, n):
+    """Gbar[p,k,b] = sum_rest M[p,rest,b] * A[k,rest,b] (no conjugation)."""
+    k = len(placement)
+    dim_g = 2 ** k
+    placement = list(placement)
+    others = [q for q in range(n) if q not in placement]
+    perm = placement + others + [n, n + 1]
+    B = m_cot[0].shape[-1]
+
+    def flat(x):
+        return jnp.transpose(x, perm).reshape(dim_g, -1, B)
+
+    mre, mim = flat(m_cot[0]), flat(m_cot[1])
+    are, aim = flat(a_state[0]), flat(a_state[1])
+
+    def contract(x, y):
+        return (x[:, None, :, :] * y[None, :, :, :]).sum(axis=2)
+
+    re = contract(mre, are) - contract(mim, aim)
+    im = contract(mre, aim) + contract(mim, are)
+    return re, im
+
+
+# --------------------------------------------------------------------------
+# piecewise-linear penalty with gradient (reference penalty.py:44-71 curve)
+# --------------------------------------------------------------------------
+
+def _penalty_val_grad(a, xmax, ymax, p0, p1, p2):
+    two_pi = 2 * math.pi
+    x = a % two_pi
+    xs = np.array([0.0, p0, xmax - p2, xmax + p2, math.pi - p1, math.pi + p1,
+                   math.pi + xmax - p2, math.pi + xmax + p2, two_pi - p0,
+                   two_pi], dtype=np.float32)
+    ys = np.array([0, 0, ymax, ymax, 1, 1, ymax, ymax, 0, 0], dtype=np.float32)
+    val = jnp.zeros_like(x)
+    grad = jnp.zeros_like(x)
+    for i in range(len(xs) - 1):
+        m = (ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i])
+        seg = (x >= xs[i]) & (x < xs[i + 1])
+        val = jnp.where(seg, ys[i] + m * (x - xs[i]), val)
+        grad = jnp.where(seg, m, grad)
+    return val, grad
+
+
+# --------------------------------------------------------------------------
+# the sweep kernel
+# --------------------------------------------------------------------------
+
+def make_pallas_sweep(num_qubits: int, rotation_gates: str, placements: dict,
+                      u_target: np.ndarray,
+                      cp_mask: np.ndarray,
+                      r: float,
+                      num_iterations: int,
+                      learning_rate: float = 0.1,
+                      penalty_params=(math.pi / 2, 2.0, 0.05, 0.05, 0.05),
+                      interpret: bool = False):
+    """Compile-time-configured sweep: f(initial_angles_BP) ->
+    (params2, regloss2, loss2) with the [initial, best] stacking contract of
+    engine.minimize_fused. CP entangler + HS-test loss (the Synthesize
+    default path)."""
+    layer, num_layers = placements['layers']
+    free_placements = list(placements['free'])
+    all_placements = [list(p) for p in layer] * num_layers + \
+        [list(p) for p in free_placements]
+    nba = num_block_angles('cp', rotation_gates)
+    n = num_qubits
+    d = 2 ** n
+    num_blocks = len(all_placements)
+    P = 3 * n + nba * num_blocks
+
+    t_re = np.ascontiguousarray(np.real(u_target), dtype=np.float32)
+    t_im = np.ascontiguousarray(np.imag(u_target), dtype=np.float32)
+    t_shape = tuple([2] * n + [d, 1])
+    mask_np = np.asarray(cp_mask, dtype=np.float32).reshape(P, 1)
+    xmax, ymax, p0, p1, p2 = penalty_params
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def losses_of(params, tc_re, tc_im):
+        """forward + loss + output cotangent; params: (P, LANES)."""
+        B = params.shape[-1]
+        surface = params[:3 * n].reshape(n, 3, B)
+        blocks = params[3 * n:].reshape(num_blocks, nba, B) if num_blocks \
+            else None
+
+        u = (jnp.broadcast_to(_iota_eye(d).reshape([2] * n + [d, 1]),
+                              tuple([2] * n) + (d, B)),
+             jnp.zeros(tuple([2] * n) + (d, B), dtype=jnp.float32))
+
+        surf_cache = []
+        for q in range(n):
+            g, gs = _surface_and_grads_pair(surface[q])
+            surf_cache.append((g, gs))
+            u = _apply_pair(g, u, [q], n)
+        block_cache = []
+        for j, p in enumerate(all_placements):
+            g, gs = _block_and_grads_pair(rotation_gates, blocks[j])
+            block_cache.append((g, gs))
+            u = _apply_pair(g, u, p, n)
+
+        # s = sum conj(T) * U ; loss = 1 - |s|^2/d^2
+        s_re = (tc_re * u[0] - tc_im * u[1]).reshape(-1, B).sum(axis=0)
+        s_im = (tc_re * u[1] + tc_im * u[0]).reshape(-1, B).sum(axis=0)
+        loss = 1.0 - (s_re ** 2 + s_im ** 2) / d ** 2
+
+        # M = -(conj(s)/d^2) * conj(T)
+        cs = (-s_re / d ** 2, s_im / d ** 2)
+        m_cot = (cs[0] * tc_re - cs[1] * tc_im,
+                 cs[0] * tc_im + cs[1] * tc_re)
+        return loss, u, m_cot, surf_cache, block_cache
+
+    def regloss_and_grad(params, tc_re, tc_im, mask):
+        B = params.shape[-1]
+        loss, u, m_cot, surf_cache, block_cache = losses_of(params, tc_re, tc_im)
+
+        pen_val, pen_grad = _penalty_val_grad(params * mask, xmax, ymax,
+                                              p0, p1, p2)
+        reg = r * pen_val.sum(axis=0)
+        regloss = loss + reg
+        grad_pen = r * pen_grad * mask   # (P, B)
+
+        # adjoint walk
+        a_state = u
+        d_blocks = []
+        for j in reversed(range(num_blocks)):
+            p = all_placements[j]
+            g, gs = block_cache[j]
+            a_state = _apply_pair(g, a_state, p, n, conj_transpose=True)
+            gbar = _gate_cotangent_pair(m_cot, a_state, p, n)
+            dth = [2 * (gbar[0] * dg[0] - gbar[1] * dg[1]).sum(axis=(0, 1))
+                   for dg in gs]
+            d_blocks.append(jnp.stack(dth))
+            m_cot = _apply_pair(g, m_cot, p, n, transpose=True)
+        d_blocks = d_blocks[::-1]
+
+        d_surface = []
+        for q in reversed(range(n)):
+            g, gs = surf_cache[q]
+            a_state = _apply_pair(g, a_state, [q], n, conj_transpose=True)
+            gbar = _gate_cotangent_pair(m_cot, a_state, [q], n)
+            dth = [2 * (gbar[0] * dg[0] - gbar[1] * dg[1]).sum(axis=(0, 1))
+                   for dg in gs]
+            d_surface.append(jnp.stack(dth))
+            m_cot = _apply_pair(g, m_cot, [q], n, transpose=True)
+        d_surface = d_surface[::-1]
+
+        pieces = [jnp.stack(d_surface).reshape(3 * n, B)]
+        if num_blocks:
+            pieces.append(jnp.stack(d_blocks).reshape(num_blocks * nba, B))
+        grad = jnp.concatenate(pieces, axis=0) + grad_pen
+        return regloss, loss, grad
+
+    def kernel(init_ref, tre_ref, tim_ref, mask_ref,
+               best_params_ref, summary_ref):
+        params0 = init_ref[:]                       # (P, LANES)
+        tc_re = tre_ref[:].reshape(t_shape)         # conj(T) split
+        tc_im = (-tim_ref[:]).reshape(t_shape)
+        mask = mask_ref[:]
+        regloss0, loss0, _ = regloss_and_grad(params0, tc_re, tc_im, mask)
+
+        def body(i, carry):
+            params, m, v, best_p, best_reg, best_loss = carry
+            regloss, loss, grad = regloss_and_grad(params, tc_re, tc_im, mask)
+            improved = regloss < best_reg
+            best_reg = jnp.where(improved, regloss, best_reg)
+            best_loss = jnp.where(improved, loss, best_loss)
+            best_p = jnp.where(improved[None, :], params, best_p)
+
+            m = b1 * m + (1 - b1) * grad
+            v = b2 * v + (1 - b2) * grad * grad
+            t = (i + 1).astype(jnp.float32)
+            mhat = m / (1 - b1 ** t)
+            vhat = v / (1 - b2 ** t)
+            params = params - learning_rate * mhat / (jnp.sqrt(vhat) + eps)
+            return params, m, v, best_p, best_reg, best_loss
+
+        zeros = jnp.zeros_like(params0)
+        carry = (params0, zeros, zeros, params0, regloss0, loss0)
+        carry = lax.fori_loop(0, num_iterations, body, carry)
+        _, _, _, best_p, best_reg, best_loss = carry
+
+        best_params_ref[:] = best_p
+        summary_ref[:] = jnp.stack([regloss0, loss0, best_reg, best_loss])
+
+    def sweep(initial_bp):
+        Btot = initial_bp.shape[0]
+        assert Btot % LANES == 0, f'batch {Btot} must be a multiple of {LANES}'
+        grid = (Btot // LANES,)
+        init_pb = initial_bp.T  # (P, Btot)
+
+        best_params, summary = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((P, LANES), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((d, d), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((d, d), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((P, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((P, LANES), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((4, LANES), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((P, Btot), jnp.float32),
+                       jax.ShapeDtypeStruct((4, Btot), jnp.float32)),
+            interpret=interpret,
+        )(init_pb, t_re, t_im, mask_np)
+        return best_params, summary
+
+    return sweep
+
+
+def pallas_minimize_fused(num_qubits, rotation_gates, placements, u_target,
+                          cp_mask, r, num_iterations, initial_params_batch,
+                          learning_rate=0.1, interpret=False):
+    """RawResult-compatible wrapper (same [initial, best] contract)."""
+    from cpflow_tpu.optimize.engine import RawResult
+
+    sweep = make_pallas_sweep(num_qubits, rotation_gates, placements,
+                              u_target, cp_mask, r, num_iterations,
+                              learning_rate=learning_rate,
+                              interpret=interpret)
+    initial = jnp.asarray(initial_params_batch, dtype=jnp.float32)
+    best_params, summary = jax.jit(sweep)(initial)
+
+    params_hist = jnp.stack([initial, best_params.T], axis=1)   # (B, 2, P)
+    regloss_hist = jnp.stack([summary[0], summary[2]], axis=1)  # (B, 2)
+    loss_hist = jnp.stack([summary[1], summary[3]], axis=1)
+    return RawResult(params=params_hist, regloss=regloss_hist,
+                     loss=loss_hist, reg=regloss_hist - loss_hist,
+                     batched=True)
