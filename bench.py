@@ -47,6 +47,7 @@ def main():
     rotation_gates = 'xyz'
     batch = int(os.environ.get('CPFLOW_BENCH_BATCH', 1024))
     iters = int(os.environ.get('CPFLOW_BENCH_ITERS', 1000))
+    mode = os.environ.get('CPFLOW_BENCH_MODE', 'fused')  # fused | pallas
 
     placements = fill_layers(chain_layer(num_qubits), num_cp_gates)
     nba = num_block_angles('cp', rotation_gates)
@@ -70,7 +71,23 @@ def main():
 
     val_grad = jax.value_and_grad(objective, has_aux=True)
 
-    def sweep(seed):
+    if mode == 'pallas':
+        from cpflow_tpu.sim import pallas_sweep as ps
+        pallas_fn = ps.make_pallas_sweep(
+            num_qubits, rotation_gates, placements,
+            multi_controlled_x(num_qubits), cp_mask, 0.00055, iters)
+
+        def sweep(seed):
+            keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+            inits = jax.vmap(lambda k: jax.random.uniform(
+                k, (num_angles,), minval=0.0, maxval=2 * np.pi,
+                dtype=jnp.float32))(keys)
+            _, summary = pallas_fn(inits)
+            return jnp.min(summary[2])
+    else:
+        sweep = None  # defined below
+
+    def sweep_fused(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), batch)
         inits = jax.vmap(lambda k: jax.random.uniform(
             k, (num_angles,), minval=0.0, maxval=2 * np.pi,
@@ -90,7 +107,7 @@ def main():
         # scalar summary: the synchronization point for timing
         return jnp.min(best)
 
-    compiled = jax.jit(sweep)
+    compiled = jax.jit(sweep if mode == 'pallas' else sweep_fused)
 
     t0 = time.time()
     best0 = float(compiled(0))

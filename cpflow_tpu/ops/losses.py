@@ -127,6 +127,29 @@ def _shift_indices(dim: int, block: int):
     return ((blk + 1) % k) * block + off
 
 
+def shifting_matrix(n):
+    """Cyclic basis shift: m[i, (i+1)%n] = 1 (matrix_utils.py:89-94)."""
+    import numpy as np
+    m = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        m[i, (i + 1) % n] = 1
+    return m
+
+
+def shift_matrix(u):
+    """Cyclically shift the eigenvalue order of a diagonal matrix
+    (matrix_utils.py:97-101), as a pure index permutation."""
+    src = _shift_indices(u.shape[0], 1)
+    return u[src][:, src]
+
+
+def shift_block_diagonal_matrix(u, m):
+    """Cyclically shift the order of m x m diagonal blocks
+    (matrix_utils.py:104-115)."""
+    src = _shift_indices(u.shape[0], m)
+    return u[src][:, src]
+
+
 def block_diagonal_split(u, num_qubits, n):
     """Split into block-diagonal part, its block-shifted version, and the
     off-block-diagonal remainder (matrix_utils.py:118-134)."""
@@ -140,6 +163,18 @@ def block_diagonal_split(u, num_qubits, n):
     src = _shift_indices(dim, block)
     u_diag_shifted = u_diag[src][:, src]
     return u_diag, u_diag_shifted, u_off_diag
+
+
+def tensor_identity_loss_frobenius(u, num_qubits, wires):
+    """Frobenius-norm variant of tensor_identity_loss
+    (matrix_utils.py:137-148)."""
+    u = move_wires_up(u, num_qubits, wires)
+    block_size = num_qubits - len(wires)
+    u_diag, u_diag_shifted, u_off_diag = block_diagonal_split(u, num_qubits,
+                                                              block_size)
+    loss_off = (jnp.abs(u_off_diag) ** 2).sum()
+    loss_diag = (jnp.abs(u_diag - u_diag_shifted) ** 2).sum()
+    return loss_diag + loss_off
 
 
 def tensor_identity_loss(u, num_qubits, wires):

@@ -228,8 +228,19 @@ def _apply_pair(gate, u, placement, n, conj_transpose=False, transpose=False):
 
     ure, uim = one(u[0]), one(u[1])
 
+    # accumulate over the small contraction axis instead of materializing a
+    # (dim_g, dim_g, rest, B) broadcast product — Mosaic stack-allocates
+    # temporaries, and the broadcast form quadruples peak VMEM. Int index and
+    # newaxis are applied in separate steps: mixing them in one bracket turns
+    # into a >2D gather that Mosaic cannot lower.
     def contract(g, x):
-        return (g[:, :, None, :] * x[None, :, :, :]).sum(axis=1)
+        acc = None
+        for kk in range(dim_g):
+            gk = g[:, kk]      # (dim_g, B)
+            xk = x[kk]         # (rest*col, B)
+            term = gk[:, None, :] * xk[None, :, :]
+            acc = term if acc is None else acc + term
+        return acc
 
     out_re = contract(gre, ure) - contract(gim, uim)
     out_im = contract(gre, uim) + contract(gim, ure)
@@ -256,8 +267,14 @@ def _gate_cotangent_pair(m_cot, a_state, placement, n):
     mre, mim = flat(m_cot[0]), flat(m_cot[1])
     are, aim = flat(a_state[0]), flat(a_state[1])
 
+    # Gbar[p,k,b] = sum_r M[p,r,b] A[k,r,b]: loop the tiny (p,k) grid and
+    # reduce over rest — avoids a (dim_g, dim_g, rest, B) temporary
     def contract(x, y):
-        return (x[:, None, :, :] * y[None, :, :, :]).sum(axis=2)
+        rows = []
+        for p in range(dim_g):
+            cols = [(x[p] * y[q]).sum(axis=0) for q in range(dim_g)]
+            rows.append(jnp.stack(cols))
+        return jnp.stack(rows)
 
     re = contract(mre, are) - contract(mim, aim)
     im = contract(mre, aim) + contract(mim, are)
@@ -411,8 +428,11 @@ def make_pallas_sweep(num_qubits: int, rotation_gates: str, placements: dict,
             m = b1 * m + (1 - b1) * grad
             v = b2 * v + (1 - b2) * grad * grad
             t = (i + 1).astype(jnp.float32)
-            mhat = m / (1 - b1 ** t)
-            vhat = v / (1 - b2 ** t)
+            # b^t as exp(t ln b): mosaic cannot legalize scalar powf
+            b1t = jnp.exp(t * math.log(b1))
+            b2t = jnp.exp(t * math.log(b2))
+            mhat = m / (1 - b1t)
+            vhat = v / (1 - b2t)
             params = params - learning_rate * mhat / (jnp.sqrt(vhat) + eps)
             return params, m, v, best_p, best_reg, best_loss
 
@@ -448,6 +468,8 @@ def make_pallas_sweep(num_qubits: int, rotation_gates: str, placements: dict,
             out_shape=(jax.ShapeDtypeStruct((P, Btot), jnp.float32),
                        jax.ShapeDtypeStruct((4, Btot), jnp.float32)),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(init_pb, t_re, t_im, mask_np)
         return best_params, summary
 

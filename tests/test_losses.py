@@ -103,3 +103,24 @@ def test_permutation_matrices_are_permutations():
         mn = np.asarray(m)
         np.testing.assert_allclose(mn @ mn.conj().T, np.eye(8), atol=1e-7)
         assert set(np.unique(mn)) <= {0.0, 1.0}
+
+
+def test_shift_matrices():
+    import numpy as np
+    m = losses.shifting_matrix(3)
+    np.testing.assert_array_equal(m, [[0, 1, 0], [0, 0, 1], [1, 0, 0]])
+    d = jnp.diag(jnp.array([1.0, 2.0, 3.0, 4.0]))
+    shifted = losses.shift_matrix(d)
+    np.testing.assert_allclose(np.diag(np.asarray(shifted)), [2, 3, 4, 1])
+    # block shift: 2x2 blocks of a 4x4
+    b = jnp.array(np.diag([1, 1, 2, 2]).astype(np.float32))
+    np.testing.assert_allclose(np.diag(np.asarray(
+        losses.shift_block_diagonal_matrix(b, 2))), [2, 2, 1, 1])
+
+
+def test_tensor_identity_loss_frobenius():
+    v = random_unitary(4, 9)
+    u = jnp.kron(jnp.eye(2, dtype=jnp.complex64), v)
+    assert float(losses.tensor_identity_loss_frobenius(u, 3, [0])) == pytest.approx(0.0, abs=1e-5)
+    ux = jnp.kron(gates.x_mat, jnp.eye(4, dtype=jnp.complex64))
+    assert float(losses.tensor_identity_loss_frobenius(ux, 3, [0])) > 0.5
