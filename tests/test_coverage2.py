@@ -1,0 +1,99 @@
+"""Coverage of secondary behavioral paths: adaptive early-stop/keep_logs,
+relative-phase compilation, default-init multistart, success-ratio harness."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpflow_tpu import (AdaptiveOptions, LossSpec, StaticOptions, Synthesize)
+from cpflow_tpu.ops import gates
+from cpflow_tpu.optimize import mynimize_repeated
+
+
+CZ_LAYER = [[0, 1]]
+
+
+def test_adaptive_stop_if_target_reached(tmp_path):
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
+                           max_evals=10, num_samples=8,
+                           num_gd_iterations=400, rotation_gates='xz',
+                           num_gd_iterations_at_verification=1500,
+                           stop_if_target_reached=True,
+                           target_num_cz_gates=3)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='stop_early')
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'r'), verbose=False)
+    # a CZ target on 2 qubits is found immediately -> loop stops well short
+    assert len(results.trials.results) < 10
+    assert len(results.decompositions) >= 1
+
+
+def test_adaptive_keep_logs(tmp_path):
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
+                           max_evals=2, num_samples=4,
+                           num_gd_iterations=200, rotation_gates='x',
+                           num_gd_iterations_at_verification=400,
+                           keep_logs=True)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='keep_logs')
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'r'), verbose=False)
+    # with keep_logs the raw prospective angle sets stay in the trial record
+    assert all('prospective_decompositions' in rec
+               for rec in results.trials.results)
+
+
+def test_modulo_diagonal_loss_through_synthesize():
+    """Relative-phase compilation: CZ equals CP(pi); compiling CZ modulo a
+    diagonal transformation is satisfiable with ZERO entangling gates
+    (any diagonal circuit matches), so even an empty-ish template passes."""
+    spec = LossSpec('modulo_diagonal', target=np.asarray(gates.cz_mat),
+                    num_qubits=2, wires=[0, 1])
+    s = Synthesize(CZ_LAYER, unitary_loss_func=spec, mesh=None,
+                   label='relphase')
+    options = StaticOptions(num_cp_gates=1, accepted_num_cz_gates=1,
+                            num_samples=8, num_gd_iterations=500,
+                            rotation_gates='xz',
+                            num_gd_iterations_at_verification=1000)
+    results = s.static(options, save_results=False, verbose=False)
+    assert len(results.decompositions) >= 1
+    d = results.decompositions[0]
+    assert float(d.loss) < 1e-5
+
+
+def test_mynimize_repeated_default_random_inits():
+    f = lambda x: ((x - 1.0) ** 2).sum()
+    res = mynimize_repeated(f, 3, num_repeats=4, keep_history=False,
+                            num_iterations=200, learning_rate=0.2)
+    assert len(res) == 4
+    assert min(float(r['loss'][1]) for r in res) < 1e-3
+    single = mynimize_repeated(f, 3, num_repeats=1, keep_history=False,
+                               num_iterations=200, learning_rate=0.2)
+    assert isinstance(single, dict)
+
+
+def test_success_ratio_harness():
+    from benchmarks.success_ratio import success_ratio
+    from cpflow_tpu.topology import chain_layer
+    ratio, best = success_ratio(chain_layer(2), 1, 'xz',
+                                jnp.array(gates.cz_mat),
+                                num_samples=16, num_iterations=500)
+    assert 0.0 <= ratio <= 1.0
+    assert best.shape == (16,)
+    # a single CZ block trivially implements CZ: most restarts converge
+    assert ratio > 0.3
+
+
+def test_results_default_save_path(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='default_path')
+    options = StaticOptions(num_cp_gates=1, accepted_num_cz_gates=2,
+                            num_samples=4, num_gd_iterations=300,
+                            rotation_gates='x',
+                            num_gd_iterations_at_verification=500)
+    s.static(options, save_results=True, verbose=False)
+    assert os.path.exists(tmp_path / 'results' / 'default_path')
