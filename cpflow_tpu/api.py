@@ -23,7 +23,7 @@ import dataclasses
 import math
 import os
 from dataclasses import dataclass, field, asdict
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional
 
 import dill
 import numpy as np
@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from cpflow_tpu import config
-from cpflow_tpu.circuits.ir import Circuit, Instruction
+from cpflow_tpu.circuits.ir import Circuit
 from cpflow_tpu.circuits.passes import cp_to_cz_circuit, convert_to_zxz
 from cpflow_tpu.circuits.refine import refine as refine_circuit, host_loss_adapter
 from cpflow_tpu.ops import gates, losses
@@ -43,7 +43,7 @@ from cpflow_tpu.parallel import mesh as mesh_lib
 from cpflow_tpu.search import tpe
 from cpflow_tpu.sim import batched as batched_sim
 from cpflow_tpu.sim.ansatz_kernel import (build_unitary, cp_angle_indices,
-                                          num_block_angles, split_angles)
+                                          num_block_angles)
 from cpflow_tpu.topology import fill_layers, num_qubits_from_layer
 
 

@@ -17,13 +17,12 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 
 from cpflow_tpu.circuits.euler import zxz_angles
-from cpflow_tpu.circuits.ir import (Circuit, Instruction, FIXED_GATES,
-                                    ROTATION_NAMES)
+from cpflow_tpu.circuits.ir import Circuit, Instruction, ROTATION_NAMES
 
 
 def hst_distance(u: np.ndarray, v: np.ndarray) -> float:

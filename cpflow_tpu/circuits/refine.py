@@ -22,7 +22,7 @@ import numpy as np
 
 from cpflow_tpu.circuits import passes
 from cpflow_tpu.circuits.clifford_t import solovay_kitaev
-from cpflow_tpu.circuits.ir import Circuit, ROTATION_NAMES
+from cpflow_tpu.circuits.ir import Circuit
 from cpflow_tpu.circuits.passes import (all_rgates_are_rational,
                                         check_approximation, check_loss,
                                         cp_to_cz_circuit, convert_to_zxz,

@@ -9,8 +9,6 @@ matrix_utils.py:17-23).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

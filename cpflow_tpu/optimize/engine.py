@@ -37,7 +37,7 @@ from jax import lax
 
 from cpflow_tpu import config
 from cpflow_tpu.ops.losses import fubini_study
-from cpflow_tpu.ops.trig import min_angle, random_angles
+from cpflow_tpu.ops.trig import min_angle
 
 
 # --------------------------------------------------------------------------

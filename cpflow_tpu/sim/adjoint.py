@@ -18,7 +18,7 @@ For state preparation L = 1 - |o|^2, o = sum conj(t) U[:,0]:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp

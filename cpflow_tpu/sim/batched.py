@@ -145,6 +145,51 @@ def _apply_gate_batched(gate, u, placement: Sequence[int], n: int):
     return jnp.transpose(out, inv)
 
 
+def _apply_gate_batched_slices(gate, u, placement: Sequence[int], n: int):
+    """Transpose-free variant: reads the 2^k x 2^k sub-blocks as static
+    keepdim slices and assembles the output with nested concatenates along
+    the original leg axes. Same semantics as _apply_gate_batched."""
+    k = len(placement)
+    assert k in (1, 2)
+    ndim = u.ndim
+
+    def slice_at(legs_vals):
+        idx = [slice(None)] * ndim
+        for leg, val in legs_vals:
+            idx[leg] = slice(val, val + 1)
+        return u[tuple(idx)]
+
+    gshape = (1,) * (ndim - 1) + (gate.shape[-1],)
+
+    if k == 1:
+        (i,) = placement
+        outs = []
+        for p in (0, 1):
+            acc = None
+            for kk in (0, 1):
+                term = gate[p, kk].reshape(gshape) * slice_at([(i, kk)])
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=i)
+
+    i, j = placement
+    rows = []
+    for pa in (0, 1):
+        cols = []
+        for pb in (0, 1):
+            p = 2 * pa + pb
+            acc = None
+            for ka in (0, 1):
+                for kb in (0, 1):
+                    kidx = 2 * ka + kb
+                    term = gate[p, kidx].reshape(gshape) * \
+                        slice_at([(i, ka), (j, kb)])
+                    acc = term if acc is None else acc + term
+            cols.append(acc)
+        rows.append(jnp.concatenate(cols, axis=j))
+    return jnp.concatenate(rows, axis=i)
+
+
 def build_unitary_batched(num_qubits: int, entangling_gate_name: str,
                           rotation_gates: str, placements: dict, angles):
     """angles: (P, B) -> batched unitary (2,)*n + (2^n, B).

@@ -23,10 +23,7 @@ in interpreter mode.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import List, Sequence, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

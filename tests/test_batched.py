@@ -211,3 +211,17 @@ def test_reversible_fused_minimization_converges():
     raw = engine.minimize_fused(regloss_fn, inits, learning_rate=0.1,
                                 num_iterations=400, keep_history=False)
     assert float(np.asarray(raw.regloss[:, 1]).min()) < 1e-5
+
+
+def test_apply_gate_slices_variant_matches():
+    n, B = 3, 4
+    rng = np.random.default_rng(0)
+    u = jnp.array((rng.normal(size=(2,)*3 + (8, B)) +
+                   1j * rng.normal(size=(2,)*3 + (8, B))).astype(np.complex64))
+    for placement in ([0], [2], [0, 2], [2, 0], [1, 2]):
+        dim = 2 ** len(placement)
+        g = jnp.array((rng.normal(size=(dim, dim, B)) +
+                       1j * rng.normal(size=(dim, dim, B))).astype(np.complex64))
+        a = np.asarray(bt._apply_gate_batched(g, u, placement, n))
+        b = np.asarray(bt._apply_gate_batched_slices(g, u, placement, n))
+        np.testing.assert_allclose(a, b, atol=1e-5)
