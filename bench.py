@@ -25,6 +25,19 @@ import numpy as np
 
 
 def main():
+    """Run the bench; on tunnel/compile failure retry once at reduced size
+    so the driver always gets a JSON line from a real measurement."""
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — tunnel faults are non-deterministic
+        print(f"# bench failed ({type(e).__name__}: {str(e)[:120]}); "
+              f"retrying at reduced size", file=sys.stderr)
+        os.environ['CPFLOW_BENCH_BATCH'] = '256'
+        os.environ['CPFLOW_BENCH_ITERS'] = '300'
+        _run()
+
+
+def _run():
     import jax
     import jax.numpy as jnp
     import optax

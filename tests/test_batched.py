@@ -225,3 +225,25 @@ def test_apply_gate_slices_variant_matches():
         a = np.asarray(bt._apply_gate_batched(g, u, placement, n))
         b = np.asarray(bt._apply_gate_batched_slices(g, u, placement, n))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_six_qubit_capability():
+    """6q works end-to-end (the reference's experiments cap at 5q;
+    SURVEY §5 notes the dense-unitary representation supports ~6-7q)."""
+    n, k, rot = 6, 6, 'xz'
+    placements = fill_layers(chain_layer(n), k)
+    nba = num_block_angles('cp', rot)
+    P = 3 * n + nba * k
+    rng = np.random.default_rng(0)
+    angles = jnp.array(rng.uniform(0, 6.28, (P, 2)).astype(np.float32))
+    u = bt.build_unitary_batched(n, 'cp', rot, placements, angles)
+    um = np.asarray(u).reshape(64, 64, 2)
+    for b in range(2):
+        np.testing.assert_allclose(um[:, :, b] @ um[:, :, b].conj().T,
+                                   np.eye(64), atol=2e-4)
+    # gradient flows at 6q through the reversible path
+    spec = LossSpec('hst', target=np.eye(64, dtype=np.complex64))
+    fn = bt.make_batched_regloss(n, 'cp', rot, placements, spec,
+                                 reversible=True)
+    g = jax.grad(lambda a: fn(a)[0].sum())(angles)
+    assert np.isfinite(np.asarray(g)).all()
