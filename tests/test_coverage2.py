@@ -97,3 +97,18 @@ def test_results_default_save_path(tmp_path, monkeypatch):
                             num_gd_iterations_at_verification=500)
     s.static(options, save_results=True, verbose=False)
     assert os.path.exists(tmp_path / 'results' / 'default_path')
+
+
+def test_cli_synthesize_and_info(capsys):
+    import json
+    from cpflow_tpu.__main__ import main
+    main(['info'])
+    main(['synthesize', '--target', 'cz', '--layer', 'chain', '--static',
+          '--num-cp-gates', '2', '--num-samples', '8', '--accepted-cz', '3',
+          '--no-save', '--refine'])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith('{')]
+    info = json.loads(lines[0])
+    assert 'backend' in info
+    result = json.loads(lines[1])
+    assert len(result['decompositions']) >= 1
+    assert result['decompositions'][0]['loss'] < 1e-5
