@@ -172,6 +172,93 @@ def filter_prospective(ev: EvaluatedBatch, threshold_cz_count, threshold_loss):
 
 
 # --------------------------------------------------------------------------
+# Reference-shaped single-candidate wrappers (cp_utils.py:111-247 contracts)
+# --------------------------------------------------------------------------
+
+def convert_cp_to_cz(anz, angles, threshold=0.2):
+    """Project near-0/pi CP angles and return (circ_func, u_func,
+    free_angles) with the projected angles fixed (reference convert_cp_to_cz,
+    cp_utils.py:111-141). circ_func maps free angles to an IR Circuit;
+    u_func maps free angles to the unitary."""
+    angles = jnp.asarray(angles, dtype=config.real_dtype)
+    mask = np.asarray(anz.cp_mask)
+    cp_indices = np.nonzero(mask == 1)[0]
+
+    projected_all = project_cp_angles(angles[jnp.array(cp_indices)],
+                                      threshold=threshold)
+    projected_all = np.asarray(projected_all)
+    snapped = (projected_all == 0.0) | (projected_all == np.pi)
+    projected_values = jnp.asarray(projected_all[snapped],
+                                   dtype=config.real_dtype)
+    projected_indices = [int(i) for i in cp_indices[snapped]]
+
+    free_angles = jnp.asarray(
+        [a for i, a in enumerate(np.asarray(angles))
+         if i not in projected_indices], dtype=config.real_dtype)
+
+    circ_func = constrained_function(
+        lambda angs: anz.circuit(list(np.asarray(angs))),
+        np.asarray(projected_values), projected_indices, jax_numpy=False)
+    u_func = constrained_function(anz.unitary, projected_values,
+                                  projected_indices)
+    return circ_func, u_func, free_angles
+
+
+def evaluate_cp_result(res, cp_mask, threshold=0.2):
+    """(cz, loss, angles) at the best regloss iterate of one learning history
+    (reference evaluate_cp_result, cp_utils.py:144-164). Prefer
+    evaluate_raw_batch for whole batches."""
+    best_i = int(jnp.argmin(jnp.asarray(res['regloss'])))
+    loss = res['loss'][best_i]
+    angles = res['params'][best_i]
+    cz = int(count_cz(jnp.asarray(angles) * jnp.asarray(cp_mask),
+                      threshold=threshold))
+    return cz, loss, angles
+
+
+def filter_cp_results(res_list, cp_mask, threshold_cz_count, threshold_loss,
+                      threshold_cp=0.2, disable_tqdm=False):
+    """[[cz, res], ...] for histories passing both thresholds, sorted by CZ
+    count (reference filter_cp_results, cp_utils.py:167-202)."""
+    selected = []
+    for res in res_list:
+        cz, loss, _ = evaluate_cp_result(res, cp_mask, threshold=threshold_cp)
+        if cz <= threshold_cz_count and float(loss) <= threshold_loss:
+            selected.append([cz, res])
+    selected.sort(key=lambda x: x[0])
+    return selected
+
+
+def verify_cp_result(res, anz, unitary_loss_func, options, keep_history=False):
+    """Project one candidate and re-optimize its free angles (reference
+    verify_cp_result, cp_utils.py:205-247). Returns
+    (success, num_cz_gates, circ_func, u_func, best_angles[, histories])."""
+    from cpflow_tpu.optimize import engine
+
+    num_cz_gates, _, angles = evaluate_cp_result(
+        res, anz.cp_mask, threshold=options.threshold_cp)
+    circ_func, u_func, free_angles = convert_cp_to_cz(
+        anz, angles, threshold=options.threshold_cp)
+
+    loss_fn = lambda angs: unitary_loss_func(u_func(angs))
+    hist, losses = jax.jit(lambda init: engine.minimize_chain(
+        loss_fn, init, method=options.method,
+        learning_rate=options.learning_rate_at_verification,
+        num_iterations=options.num_gd_iterations_at_verification,
+        keep_history=keep_history))(free_angles)
+
+    best_i = int(jnp.argmin(losses))
+    best_angs = hist[best_i]
+    best_loss = float(losses[best_i])
+
+    if not keep_history:
+        return (best_loss <= options.target_loss, num_cz_gates, circ_func,
+                u_func, best_angs)
+    return (best_loss <= options.target_loss, num_cz_gates, circ_func,
+            u_func, best_angs, hist, losses)
+
+
+# --------------------------------------------------------------------------
 # Batched verification
 # --------------------------------------------------------------------------
 

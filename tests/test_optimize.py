@@ -222,3 +222,44 @@ def test_batch_axis_trailing_matches_leading():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.regloss), np.asarray(b.regloss),
                                atol=1e-5)
+
+
+def test_reference_shaped_single_candidate_wrappers():
+    """convert_cp_to_cz / evaluate_cp_result / filter_cp_results /
+    verify_cp_result with the reference's contracts (cp_utils.py:111-247)."""
+    from cpflow_tpu.api import Ansatz, StaticOptions, LossSpec
+
+    n, k = 2, 2
+    anz = Ansatz(n, 'cp', fill_layers(chain_layer(n), k), rotation_gates='xz')
+    spec = LossSpec('hst', target=gates.cz_mat)
+    loss_func = lambda angs: spec(anz.unitary(angs))
+
+    from cpflow_tpu.optimize import mynimize_repeated
+    from cpflow_tpu.ops.penalty import cp_penalty_linear
+    reg = lambda angs: 0.002 * cp_penalty_linear(
+        angs * anz.cp_mask, np.pi / 2, 2.0, .05, .05, .05).sum()
+    inits = cand.generate_initial_angles_batch(
+        jax.random.PRNGKey(0), anz.num_angles, anz.cp_mask, 'uniform', 8)
+    res_list = mynimize_repeated(loss_func, anz.num_angles,
+                                 initial_params_batch=inits,
+                                 regularization_func=reg,
+                                 keep_history=False, num_iterations=500)
+
+    selected = cand.filter_cp_results(res_list, anz.cp_mask,
+                                      threshold_cz_count=3,
+                                      threshold_loss=1e-3)
+    assert len(selected) > 0
+    assert selected == sorted(selected, key=lambda x: x[0])
+
+    cz0, res0 = selected[0]
+    options = StaticOptions(num_cp_gates=k, accepted_num_cz_gates=3,
+                            num_gd_iterations_at_verification=1500)
+    out = cand.verify_cp_result(res0, anz, spec, options)
+    success, num_cz, circ_func, u_func, best_angs = out
+    assert success
+    assert num_cz == cz0
+    # circ/u functions evaluate consistently at the learned angles
+    qc = circ_func(np.asarray(best_angs))
+    u = np.asarray(u_func(best_angs))
+    from cpflow_tpu.circuits.passes import hst_distance
+    assert hst_distance(qc.unitary().astype(np.complex64), u) < 1e-4
