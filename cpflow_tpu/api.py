@@ -568,6 +568,30 @@ class Synthesize:
         return cand.evaluate_raw_batch(raw, anz.cp_mask,
                                        threshold=options.threshold_cp)
 
+    def _raw_and_evaluate(self, options) -> cand.EvaluatedBatch:
+        """Raw sampling + evaluation. On the default 'adam' path this is ONE
+        device dispatch (PRNG init + fused sweep + CZ counting in a single
+        executable) — dispatch latency through remote-device tunnels runs to
+        seconds, so stage fusion matters beyond compute."""
+        if options.method != 'adam':
+            raw = self._generate_raw(options)
+            return self._evaluate_raw(raw, options)
+
+        anz = self._ansatz(options)
+        regloss_fn = batched_sim.make_batched_regloss(
+            self.num_qubits, 'cp', options.rotation_gates, anz.placements,
+            self.unitary_loss_func, cp_mask=anz.cp_mask,
+            regularization_func=self.cp_regularization_func, r=options.r,
+            reversible=True)
+        batch_size = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        sharding = mesh_lib.restart_sharding(self.mesh) if self.mesh else None
+        return cand.run_raw_stage_fused(
+            regloss_fn, options.random_seed, batch_size, anz.num_angles,
+            anz.cp_mask, cp_dist=options.cp_distribution,
+            threshold=options.threshold_cp,
+            learning_rate=options.learning_rate,
+            num_iterations=options.num_gd_iterations, sharding=sharding)
+
     def _verify(self, anz: Ansatz, angles_batch: np.ndarray, options
                 ) -> cand.VerifiedBatch:
         return cand.verify_candidates_batch(
@@ -616,10 +640,9 @@ class Synthesize:
         log(f'\nStarting decomposition routine with the following options:\n{options}')
 
         log('\nComputing raw results...')
-        raw = self._generate_raw(options)
+        ev = self._raw_and_evaluate(options)
 
         log('\nSelecting prospective results...')
-        ev = self._evaluate_raw(raw, options)
         prospective = cand.filter_prospective(
             ev, threshold_cz_count=options.accepted_num_cz_gates,
             threshold_loss=options.entry_loss)
@@ -690,8 +713,7 @@ class Synthesize:
             static_options = options.get_static(num_cp_gates, r)
             static_options.random_seed = random_seed
 
-            raw = self._generate_raw(static_options)
-            ev = self._evaluate_raw(raw, static_options)
+            ev = self._raw_and_evaluate(static_options)
             prospective = cand.filter_prospective(
                 ev, threshold_cz_count=float('inf'),
                 threshold_loss=static_options.entry_loss)

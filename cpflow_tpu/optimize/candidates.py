@@ -162,6 +162,40 @@ def evaluate_raw_batch(raw: engine.RawResult, cp_mask, threshold=0.2) -> Evaluat
                           angles=np.asarray(angles))
 
 
+def run_raw_stage_fused(regloss_and_loss_batch, seed: int, batch_size: int,
+                        num_angles: int, cp_mask, cp_dist: str = 'uniform',
+                        threshold: float = 0.2, learning_rate: float = 0.1,
+                        num_iterations: int = 2000,
+                        sharding=None) -> EvaluatedBatch:
+    """The whole raw sampling + evaluation stage as ONE executable: PRNG
+    init, the fused Adam sweep, best-iterate selection and CZ counting, one
+    all-real device->host transfer. Dispatch latency through a remote-device
+    tunnel is seconds per call, so collapsing the reference's
+    generate->optimize->evaluate stages (main.py:558-603) into a single
+    dispatch matters as much as the compute itself."""
+    cp_mask_j = jnp.asarray(cp_mask, dtype=config.real_dtype)
+
+    def full(seed_arr):
+        key = jax.random.PRNGKey(seed_arr)
+        inits = generate_initial_angles_batch(key, num_angles, cp_mask_j,
+                                              cp_dist=cp_dist,
+                                              batch_size=batch_size)
+        if sharding is not None:
+            inits = jax.lax.with_sharding_constraint(inits, sharding)
+        best_params, best_reg, best_loss = engine.fused_adam_sweep(
+            regloss_and_loss_batch, inits.T, learning_rate=learning_rate,
+            num_iterations=num_iterations)
+        # the best entry never exceeds the initial one, so the reference's
+        # argmin over [initial, best] (cp_utils.py:158) always lands here
+        cz = cz_value(best_params * cp_mask_j[:, None],
+                      threshold=threshold).sum(axis=0).astype(jnp.int32)
+        return cz, best_loss, best_params.T
+
+    cz, loss, angles = jax.jit(full)(jnp.asarray(seed, dtype=jnp.uint32))
+    return EvaluatedBatch(cz=np.asarray(cz), loss=np.asarray(loss),
+                          angles=np.asarray(angles))
+
+
 def filter_prospective(ev: EvaluatedBatch, threshold_cz_count, threshold_loss):
     """Indices of candidates below both thresholds, sorted by CZ count
     (reference filter_cp_results, cp_utils.py:167-202; host-side numpy)."""
@@ -301,25 +335,35 @@ def verify_candidates_batch(unitary_loss_func,
         init = jnp.where(frozen, projected, angles)
         return init, frozen
 
-    inits, frozen = jax.vmap(prepare)(cand)
-
     if method == 'adam' and anz is not None:
-        # fused batch-last path (restarts minor-most, no tiny dot_generals)
+        # fused batch-last path (restarts minor-most, no tiny dot_generals),
+        # the whole stage — sweep with frozen coordinates + CZ counting — as
+        # ONE dispatch (tunnel round-trips cost seconds each)
         from cpflow_tpu.sim import batched as batched_sim
         regloss_fn = batched_sim.make_batched_regloss(
             anz.num_qubits, anz.entangling_gate_name, anz.rotation_gates,
             anz.placements, unitary_loss_func, reversible=True)
-        mask = 1.0 - frozen.astype(config.real_dtype)  # (C, P)
-        raw = engine.minimize_fused(
-            regloss_fn, inits, learning_rate=learning_rate,
-            num_iterations=num_iterations, keep_history=False,
-            grad_mask=mask)
-        best_idx = jnp.argmin(raw.regloss, axis=1)  # over [initial, best]
-        best_angles = jnp.take_along_axis(
-            raw.params, best_idx[:, None, None], axis=1)[:, 0]
-        best_losses = jnp.take_along_axis(raw.regloss, best_idx[:, None],
-                                          axis=1)[:, 0]
+
+        def stage(cand_cp):
+            inits_cp, frozen_cp = jax.vmap(prepare)(cand_cp)
+            mask_pb = (1.0 - frozen_cp.astype(config.real_dtype)).T
+            best_params, best_reg, _ = engine.fused_adam_sweep(
+                regloss_fn, inits_cp.T, learning_rate=learning_rate,
+                num_iterations=num_iterations, grad_mask_pb=mask_pb)
+            cz = cz_value(inits_cp * cp_mask_j[None, :],
+                          threshold=threshold_cp).sum(axis=1).astype(jnp.int32)
+            return best_params.T, best_reg, cz, frozen_cp
+
+        best_angles, best_losses, cz_counts, frozen = jax.jit(stage)(cand)
+        best_losses_np = np.asarray(best_losses)
+        return VerifiedBatch(
+            success=best_losses_np <= target_loss,
+            best_loss=best_losses_np,
+            best_angles=np.asarray(best_angles),
+            cz=np.asarray(cz_counts),
+            frozen=np.asarray(frozen))
     else:
+        inits, frozen = jax.vmap(prepare)(cand)
         loss_fn = lambda angs: unitary_loss_func(u_func(angs))
 
         def chain(init, frz):

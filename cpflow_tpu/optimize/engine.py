@@ -215,6 +215,43 @@ class RawResult:
         return d
 
 
+def fused_adam_sweep(regloss_and_loss_batch: Callable,
+                     params0,
+                     learning_rate: float = 0.1,
+                     num_iterations: int = 5000,
+                     grad_mask_pb=None):
+    """Traceable core of the fused sweep: params0 (P, B) -> (best_params
+    (P, B), best_regloss (B,), best_loss (B,)) with best-so-far tracking
+    (reference optimization.py:61-94 semantics). Compose inside a larger
+    jitted program to avoid extra dispatches."""
+    opt = optax.adam(learning_rate)
+
+    def objective(params_pb):
+        regloss, loss = regloss_and_loss_batch(params_pb)
+        return regloss.sum(), (regloss, loss)
+
+    val_grad = jax.value_and_grad(objective, has_aux=True)
+    regloss0, loss0 = regloss_and_loss_batch(params0)
+
+    def body(i, carry):
+        params, best_params, best_reg, best_loss, opt_state = carry
+        (_, (regloss, loss)), grads = val_grad(params)
+        if grad_mask_pb is not None:
+            grads = grads * grad_mask_pb
+        updates, opt_state = opt.update(grads, opt_state)
+        new_params = optax.apply_updates(params, updates)
+        improved = regloss < best_reg
+        best_reg = jnp.where(improved, regloss, best_reg)
+        best_loss = jnp.where(improved, loss, best_loss)
+        best_params = jnp.where(improved[None, :], params, best_params)
+        return new_params, best_params, best_reg, best_loss, opt_state
+
+    carry = (params0, params0, regloss0, loss0, opt.init(params0))
+    _, best_params, best_reg, best_loss, _ = lax.fori_loop(
+        0, num_iterations, body, carry)
+    return best_params, best_reg, best_loss
+
+
 def minimize_fused(regloss_and_loss_batch: Callable,
                    initial_params_batch,
                    learning_rate: float = 0.1,
@@ -276,20 +313,9 @@ def minimize_fused(regloss_and_loss_batch: Callable,
                     regloss_hist.T, loss_hist.T)
         else:
             regloss0, loss0 = regloss_and_loss_batch(params0)
-
-            def body(i, carry):
-                (params, best_params, prev, best_reg, best_loss, opt_state) = carry
-                new_params, opt_state, regloss, loss = update(params, opt_state)
-                improved = regloss < best_reg
-                best_reg = jnp.where(improved, regloss, best_reg)
-                best_loss = jnp.where(improved, loss, best_loss)
-                best_params = jnp.where(improved[None, :], params, best_params)
-                return (new_params, best_params, regloss, best_reg, best_loss,
-                        opt_state)
-
-            carry = (params0, params0, regloss0, regloss0, loss0, opt_state)
-            (_, best_params, _, best_reg, best_loss, _) = lax.fori_loop(
-                0, num_iterations, body, carry)
+            best_params, best_reg, best_loss = fused_adam_sweep(
+                regloss_and_loss_batch, params0, learning_rate=learning_rate,
+                num_iterations=num_iterations, grad_mask_pb=mask_pb)
 
             params_hist = jnp.stack([params0.T, best_params.T], axis=1)  # (B,2,P)
             regloss_hist = jnp.stack([regloss0, best_reg], axis=1)       # (B,2)
