@@ -112,3 +112,13 @@ def test_cli_synthesize_and_info(capsys):
     result = json.loads(lines[1])
     assert len(result['decompositions']) >= 1
     assert result['decompositions'][0]['loss'] < 1e-5
+
+
+def test_mesh_helpers():
+    from cpflow_tpu.parallel import mesh as mesh_lib
+    # no-op without coordinator
+    mesh_lib.distributed_init(None)
+    m = mesh_lib.restart_mesh()
+    assert mesh_lib.padded_batch_size(100, m) == 104  # 8 devices
+    assert mesh_lib.padded_batch_size(100, None) == 100
+    assert mesh_lib.padded_batch_size(96, m) == 96
