@@ -351,6 +351,15 @@ class AdaptiveOptions(BasicOptions):
     target_num_cz_gates: int = 0
     stop_if_target_reached: bool = False
     keep_logs: bool = False
+    # bucketed=True compiles ONE executable for the whole search: the
+    # template is padded to max_num_cp_gates and each trial's shorter
+    # template is realized by freezing the tail blocks at identity (CP(0)=Id,
+    # R(0)=Id) with a runtime mask; the regularization weight r is also a
+    # runtime argument. Recommended whenever compilation is expensive
+    # (every distinct num_cp_gates otherwise compiles its own program).
+    # Trials are NOT bit-identical to the unbucketed mode (the PRNG draws
+    # max-length angle vectors), but the search semantics are the same.
+    bucketed: bool = False
 
     def __post_init__(self):
         if self.min_num_cp_gates == -1:
@@ -592,6 +601,55 @@ class Synthesize:
             learning_rate=options.learning_rate,
             num_iterations=options.num_gd_iterations, sharding=sharding)
 
+    def _bucketed_stage(self, options):
+        """One jitted raw-stage executable for ALL (k, r) adaptive trials:
+        template padded to max_num_cp_gates; seed, r and the active-block
+        mask are runtime arguments. Cached on the instance."""
+        batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        key = (options.max_num_cp_gates, options.rotation_gates, batch,
+               options.num_gd_iterations, options.learning_rate,
+               options.cp_distribution, options.threshold_cp)
+        cache = getattr(self, '_stage_cache', None)
+        if cache is None:
+            cache = self._stage_cache = {}
+        if key in cache:
+            return cache[key]
+
+        anz = Ansatz(self.num_qubits, 'cp',
+                     fill_layers(self.layer, options.max_num_cp_gates),
+                     options.rotation_gates)
+        lp_fn = batched_sim.make_batched_loss_and_penalty(
+            self.num_qubits, 'cp', options.rotation_gates, anz.placements,
+            self.unitary_loss_func, anz.cp_mask, self.cp_regularization_func)
+        num_angles = anz.num_angles
+        cp_mask_j = anz.cp_mask
+        sharding = mesh_lib.restart_sharding(self.mesh) if self.mesh else None
+        iters, lr = options.num_gd_iterations, options.learning_rate
+        cp_dist, threshold = options.cp_distribution, options.threshold_cp
+
+        def stage(seed, r, active):
+            prng = jax.random.PRNGKey(seed)
+            inits = cand.generate_initial_angles_batch(
+                prng, num_angles, cp_mask_j, cp_dist=cp_dist, batch_size=batch)
+            inits = inits * active[None, :]
+            if sharding is not None:
+                inits = jax.lax.with_sharding_constraint(inits, sharding)
+            grad_mask = jnp.broadcast_to(active[:, None], (num_angles, batch))
+
+            def regloss_fn(p):
+                loss, pen = lp_fn(p)
+                return loss + r * pen, loss
+
+            best_p, _, best_loss = engine.fused_adam_sweep(
+                regloss_fn, inits.T, learning_rate=lr, num_iterations=iters,
+                grad_mask_pb=grad_mask)
+            cz = cand.cz_value(best_p * cp_mask_j[:, None],
+                               threshold=threshold).sum(axis=0).astype(jnp.int32)
+            return cz, best_loss, best_p.T
+
+        cache[key] = (jax.jit(stage), anz)
+        return cache[key]
+
     def _verify(self, anz: Ansatz, angles_batch: np.ndarray, options
                 ) -> cand.VerifiedBatch:
         return cand.verify_candidates_batch(
@@ -713,7 +771,21 @@ class Synthesize:
             static_options = options.get_static(num_cp_gates, r)
             static_options.random_seed = random_seed
 
-            ev = self._raw_and_evaluate(static_options)
+            if options.bucketed:
+                # one executable for every (k, r): tail blocks of the padded
+                # template frozen at identity via the runtime active mask
+                stage, anz_max = self._bucketed_stage(options)
+                p_k = 3 * self.num_qubits + num_cp_gates * anz_max.num_block_angles
+                active = np.zeros(anz_max.num_angles, dtype=np.float32)
+                active[:p_k] = 1.0
+                cz, loss, angles = stage(
+                    jnp.asarray(random_seed, dtype=jnp.uint32),
+                    jnp.float32(r), jnp.asarray(active))
+                ev = cand.EvaluatedBatch(cz=np.asarray(cz),
+                                         loss=np.asarray(loss),
+                                         angles=np.asarray(angles)[:, :p_k])
+            else:
+                ev = self._raw_and_evaluate(static_options)
             prospective = cand.filter_prospective(
                 ev, threshold_cz_count=float('inf'),
                 threshold_loss=static_options.entry_loss)

@@ -166,32 +166,52 @@ def run_raw_stage_fused(regloss_and_loss_batch, seed: int, batch_size: int,
                         num_angles: int, cp_mask, cp_dist: str = 'uniform',
                         threshold: float = 0.2, learning_rate: float = 0.1,
                         num_iterations: int = 2000,
-                        sharding=None) -> EvaluatedBatch:
+                        sharding=None,
+                        active_mask=None) -> EvaluatedBatch:
     """The whole raw sampling + evaluation stage as ONE executable: PRNG
     init, the fused Adam sweep, best-iterate selection and CZ counting, one
     all-real device->host transfer. Dispatch latency through a remote-device
     tunnel is seconds per call, so collapsing the reference's
     generate->optimize->evaluate stages (main.py:558-603) into a single
-    dispatch matters as much as the compute itself."""
+    dispatch matters as much as the compute itself.
+
+    active_mask: optional (P,)-vector, passed as a RUNTIME argument — entries
+    with 0 are initialized to 0 and frozen. With a template padded to a
+    maximum length, trailing blocks frozen at angle 0 are exactly identity
+    (CP(0)=Id, R(0)=Id), so ONE compiled executable serves every template
+    length (the adaptive search's k axis) — see Synthesize.adaptive's
+    bucketed mode."""
     cp_mask_j = jnp.asarray(cp_mask, dtype=config.real_dtype)
 
-    def full(seed_arr):
+    def full(seed_arr, active):
         key = jax.random.PRNGKey(seed_arr)
         inits = generate_initial_angles_batch(key, num_angles, cp_mask_j,
                                               cp_dist=cp_dist,
                                               batch_size=batch_size)
+        grad_mask_pb = None
+        if active is not None:
+            inits = inits * active[None, :]
+            grad_mask_pb = jnp.broadcast_to(active[:, None],
+                                            (num_angles, batch_size))
         if sharding is not None:
             inits = jax.lax.with_sharding_constraint(inits, sharding)
         best_params, best_reg, best_loss = engine.fused_adam_sweep(
             regloss_and_loss_batch, inits.T, learning_rate=learning_rate,
-            num_iterations=num_iterations)
+            num_iterations=num_iterations, grad_mask_pb=grad_mask_pb)
         # the best entry never exceeds the initial one, so the reference's
         # argmin over [initial, best] (cp_utils.py:158) always lands here
-        cz = cz_value(best_params * cp_mask_j[:, None],
+        cz_sel = cp_mask_j if active is None else cp_mask_j * active
+        cz = cz_value(best_params * cz_sel[:, None],
                       threshold=threshold).sum(axis=0).astype(jnp.int32)
         return cz, best_loss, best_params.T
 
-    cz, loss, angles = jax.jit(full)(jnp.asarray(seed, dtype=jnp.uint32))
+    seed_arr = jnp.asarray(seed, dtype=jnp.uint32)
+    if active_mask is None:
+        cz, loss, angles = jax.jit(
+            lambda s: full(s, None))(seed_arr)
+    else:
+        cz, loss, angles = jax.jit(full)(
+            seed_arr, jnp.asarray(active_mask, dtype=config.real_dtype))
     return EvaluatedBatch(cz=np.asarray(cz), loss=np.asarray(loss),
                           angles=np.asarray(angles))
 

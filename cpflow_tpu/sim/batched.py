@@ -398,6 +398,32 @@ def batched_unitary_loss(unitary_loss_func, u):
     return jax.vmap(unitary_loss_func, in_axes=-1)(um)
 
 
+def make_batched_loss_and_penalty(num_qubits: int, entangling_gate_name: str,
+                                  rotation_gates: str, placements: dict,
+                                  unitary_loss_func, cp_mask,
+                                  regularization_func,
+                                  reversible: bool = True) -> Callable:
+    """f(angles_PB) -> (loss_B, penalty_B) with the regularization weight
+    NOT baked in: the caller combines `loss + r * penalty` with a runtime r,
+    so one executable serves every (r, template-mask) trial of the adaptive
+    search (see Synthesize.adaptive bucketed mode)."""
+    if reversible:
+        builder = make_reversible_builder(num_qubits, entangling_gate_name,
+                                          rotation_gates, placements)
+    else:
+        builder = lambda angles: build_unitary_batched(
+            num_qubits, entangling_gate_name, rotation_gates, placements,
+            angles)
+    cp_mask = jnp.asarray(cp_mask, dtype=config.real_dtype)
+
+    def f(angles):
+        u = builder(angles)
+        loss = batched_unitary_loss(unitary_loss_func, u)
+        pen = regularization_func(angles * cp_mask[:, None]).sum(axis=0)
+        return loss, pen
+    return f
+
+
 def make_batched_regloss(num_qubits: int, entangling_gate_name: str,
                          rotation_gates: str, placements: dict,
                          unitary_loss_func,

@@ -122,3 +122,53 @@ def test_mesh_helpers():
     assert mesh_lib.padded_batch_size(100, m) == 104  # 8 devices
     assert mesh_lib.padded_batch_size(100, None) == 100
     assert mesh_lib.padded_batch_size(96, m) == 96
+
+
+def test_bucketed_adaptive_matches_semantics(tmp_path):
+    """Bucketed mode (one executable for all template lengths) finds the
+    same class of decompositions as the unbucketed search."""
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                           max_evals=3, num_samples=8,
+                           num_gd_iterations=400, rotation_gates='xz',
+                           num_gd_iterations_at_verification=1200,
+                           bucketed=True)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='bucketed')
+    results = s.adaptive(opts, save_results=False, verbose=False)
+    assert len(results.trials.results) == 3
+    assert len(results.decompositions) >= 1
+    d = results.decompositions[0]
+    assert float(d.loss) < 1e-5
+    assert 1 <= d.cz_count <= 3
+    # the stage executable is cached on the instance and reused
+    assert len(s._stage_cache) == 1
+
+
+def test_bucketed_frozen_tail_is_identity():
+    """A k-template realized by masking a k_max-template produces the same
+    evaluated losses as the direct k-template run (same restarts modulo the
+    PRNG vector length)."""
+    from cpflow_tpu.sim import batched as bt
+    from cpflow_tpu.optimize import engine as eng
+    from cpflow_tpu.sim.ansatz_kernel import num_block_angles
+    from cpflow_tpu.topology import fill_layers
+
+    n, k, k_max, rot = 2, 1, 3, 'xz'
+    nba = num_block_angles('cp', rot)
+    spec = LossSpec('hst', target=gates.cz_mat)
+
+    anz_max_pl = fill_layers(CZ_LAYER, k_max)
+    anz_k_pl = fill_layers(CZ_LAYER, k)
+    P_max = 3 * n + nba * k_max
+    P_k = 3 * n + nba * k
+
+    rng = np.random.default_rng(0)
+    angles_k = rng.uniform(0, 2 * np.pi, (4, P_k)).astype(np.float32)
+    angles_max = np.zeros((4, P_max), dtype=np.float32)
+    angles_max[:, :P_k] = angles_k
+
+    f_max = bt.make_batched_regloss(n, 'cp', rot, anz_max_pl, spec)
+    f_k = bt.make_batched_regloss(n, 'cp', rot, anz_k_pl, spec)
+    loss_max = np.asarray(f_max(jnp.array(angles_max.T))[0])
+    loss_k = np.asarray(f_k(jnp.array(angles_k.T))[0])
+    np.testing.assert_allclose(loss_max, loss_k, atol=1e-5)
