@@ -118,7 +118,8 @@ def cccz_adaptive(max_evals=10):
     s = Synthesize(connected_layer(5), target_unitary=multi_controlled_z(5),
                    label='cccz5')
     options = AdaptiveOptions(min_num_cp_gates=20, max_num_cp_gates=60,
-                              num_samples=num_samples, max_evals=max_evals)
+                              num_samples=num_samples, max_evals=max_evals,
+                              bucketed=True)
     results = s.adaptive(options, save_results=False, verbose=False)
     wall = time.time() - t0
     best_cz = min((d.cz_count for d in results.decompositions), default=None)
@@ -160,7 +161,7 @@ def qasm_sweep(num_samples=None, max_evals=None):
                            label=f'qasm_{os.path.basename(f)[:-5]}')
             options = AdaptiveOptions(min_num_cp_gates=20, max_num_cp_gates=60,
                                       num_samples=num_samples,
-                                      max_evals=max_evals)
+                                      max_evals=max_evals, bucketed=True)
             results = s.adaptive(options, save_results=False, verbose=False)
             best_cz = min((d.cz_count for d in results.decompositions),
                           default=None)

@@ -60,7 +60,7 @@ def cmd_synthesize(args):
         options = AdaptiveOptions(
             min_num_cp_gates=args.min_cp, max_num_cp_gates=args.max_cp,
             num_samples=args.num_samples, max_evals=args.max_evals,
-            random_seed=args.seed,
+            random_seed=args.seed, bucketed=args.bucketed,
             stop_if_target_reached=args.target_cz is not None,
             target_num_cz_gates=args.target_cz or 0)
         results = s.adaptive(options, save_results=not args.no_save)
@@ -116,6 +116,8 @@ def main(argv=None):
     ps.add_argument('--max-cp', type=int, default=40)
     ps.add_argument('--max-evals', type=int, default=20)
     ps.add_argument('--target-cz', type=int, default=None)
+    ps.add_argument('--bucketed', action='store_true',
+                    help='one executable for all template lengths (adaptive)')
     ps.add_argument('--num-samples', type=int, default=100)
     ps.add_argument('--seed', type=int, default=0)
     ps.add_argument('--refine', action='store_true',
