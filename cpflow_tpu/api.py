@@ -494,11 +494,13 @@ class Synthesize:
             self.mesh = mesh
 
     def __getstate__(self):
-        # Device handles are process-local and unpicklable; decompositions
-        # carry their _decomposer for provenance (reference main.py:634), so
-        # drop the mesh on serialization and rebuild on next use.
+        # Device handles and compiled executables are process-local and
+        # unpicklable; decompositions carry their _decomposer for provenance
+        # (reference main.py:634), so drop them on serialization — both are
+        # rebuilt lazily on next use.
         state = self.__dict__.copy()
         state['mesh'] = None
+        state.pop('_stage_cache', None)
         return state
 
     # -- internals ----------------------------------------------------------

@@ -172,3 +172,19 @@ def test_bucketed_frozen_tail_is_identity():
     loss_max = np.asarray(f_max(jnp.array(angles_max.T))[0])
     loss_k = np.asarray(f_k(jnp.array(angles_k.T))[0])
     np.testing.assert_allclose(loss_max, loss_k, atol=1e-5)
+
+
+def test_bucketed_results_pickle(tmp_path):
+    """The compiled-stage cache must not leak into Results persistence."""
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
+                           max_evals=1, num_samples=4,
+                           num_gd_iterations=200, rotation_gates='x',
+                           num_gd_iterations_at_verification=300,
+                           bucketed=True)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
+                   label='bucketed_save')
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'r'), verbose=False)
+    from cpflow_tpu import Results
+    loaded = Results.load(str(tmp_path / 'r'))
+    assert len(loaded.trials.results) == 1
