@@ -816,7 +816,15 @@ class Synthesize:
             return ret
 
         rng = np.random.default_rng(int(random_seed))
-        for i in range(num_existing, options.max_evals):
+        iterator = range(num_existing, options.max_evals)
+        if verbose:
+            try:  # progress bar over evaluations (reference main.py:793)
+                from tqdm.auto import tqdm
+                iterator = tqdm(iterator, desc='Evaluations',
+                                initial=num_existing, total=options.max_evals)
+            except ImportError:
+                pass
+        for i in iterator:
             log('\n' + '-' * 42)
             log(f'iteration {i}/{options.max_evals}')
 
