@@ -654,13 +654,24 @@ class Synthesize:
 
     def _verify(self, anz: Ansatz, angles_batch: np.ndarray, options
                 ) -> cand.VerifiedBatch:
-        return cand.verify_candidates_batch(
+        # pad the candidate count to buckets of 8 (repeating a row) so the
+        # verification executable compiles for few distinct shapes
+        angles_batch = np.asarray(angles_batch)
+        c = len(angles_batch)
+        cb = max(8, ((c + 7) // 8) * 8)
+        if cb > c:
+            pad = np.repeat(angles_batch[:1], cb - c, axis=0)
+            angles_batch = np.concatenate([angles_batch, pad], axis=0)
+        ver = cand.verify_candidates_batch(
             self.unitary_loss_func, anz.unitary, angles_batch, anz.cp_mask,
             threshold_cp=options.threshold_cp,
             method=options.method,
             learning_rate=options.learning_rate_at_verification,
             num_iterations=options.num_gd_iterations_at_verification,
             target_loss=options.target_loss, anz=anz)
+        if cb > c:
+            ver = cand.VerifiedBatch(*(np.asarray(f)[:c] for f in ver))
+        return ver
 
     def _initialize_results(self, save_results, save_to) -> Results:
         results = Results(self.unitary_loss_func, self.layer, label=self.label)
