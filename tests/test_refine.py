@@ -159,3 +159,24 @@ def test_refine_reaches_clifford_t_from_noisy_angles():
     assert rtype == 'Clifford+T'
     assert loss(qc.unitary()) < 1e-10
     assert t_count == 1  # one pi/4 rotation survives as a single T
+
+
+def test_lasso_angles():
+    """L1 re-optimization drives redundant angles toward zero while keeping
+    the loss at threshold (reference exact_decompositions.py:347-365)."""
+    import jax.numpy as jnp
+    from cpflow_tpu.circuits.refine import lasso_angles
+    from cpflow_tpu.sim.circuit_exec import circuit_to_jax_unitary
+    from cpflow_tpu.ops.losses import cost_HST
+
+    c = Circuit(1)
+    c.rz(0.4, 0).rz(-0.4, 0).rx(math.pi / 2, 0)  # first two cancel
+    target = c.unitary().astype('complex64')
+    u_func, angles, _ = circuit_to_jax_unitary(c)
+    loss = lambda angs: cost_HST(u_func(angs), jnp.array(target))
+
+    best = lasso_angles(loss, np.array(angles), eps=1e-4, threshold_loss=1e-5)
+    best = np.asarray(best)
+    assert float(loss(jnp.array(best))) < 1e-5
+    # the redundant pair shrinks under L1 pressure
+    assert abs(best[0]) + abs(best[1]) < 0.79
