@@ -120,17 +120,21 @@ def _run():
         # scalar summary: the synchronization point for timing
         return jnp.min(best)
 
+    from cpflow_tpu.utils.profiling import Throughput
+
     compiled = jax.jit(sweep if mode == 'pallas' else sweep_fused)
+    meter = Throughput()
 
-    t0 = time.time()
-    best0 = float(compiled(0))
-    compile_and_run_s = time.time() - t0
+    with meter.section(batch, iters, label='compile+first'):
+        best0 = float(compiled(0))  # float() readout = the sync point
+    compile_and_run_s = meter.sections[-1]['seconds']
 
-    t0 = time.time()
-    best = float(compiled(1))
-    steady_s = time.time() - t0
+    meter = Throughput()
+    with meter.section(batch, iters, label='steady'):
+        best = float(compiled(1))
+    steady_s = meter.seconds
 
-    restart_iters_per_sec = batch * iters / steady_s
+    restart_iters_per_sec = meter.rate
     baseline = 10_000.0
 
     result = {

@@ -92,7 +92,13 @@ class LossSpec:
         if self.kind == 'state':
             overlap = (t.conj() * u[:, 0]).sum()
             return float(1 - abs(overlap) ** 2)
-        # modulo/custom: fall back to the jax implementation
+        if self.kind == 'modulo_identity':
+            return float(losses.disc_modulo_identity(
+                t, np.asarray(u), self.num_qubits, self.wires, xp=np))
+        if self.kind == 'modulo_diagonal':
+            return float(losses.disc_modulo_diagonal(
+                t, np.asarray(u), self.num_qubits, self.wires, xp=np))
+        # custom callables carry no substrate info: fall back to jax
         return float(self(u))
 
     def __repr__(self):
@@ -366,6 +372,12 @@ class AdaptiveOptions(BasicOptions):
             raise TypeError("Missing required argument 'min_num_cp_gates'")
         if self.max_num_cp_gates == -1:
             raise TypeError("Missing required argument 'max_num_cp_gates'")
+        if self.bucketed and self.method != 'adam':
+            import warnings
+            warnings.warn(
+                f"bucketed=True always runs the fused Adam sweep; "
+                f"method={self.method!r} is ignored in the raw stage "
+                f"(set bucketed=False to honor it)", stacklevel=2)
 
     def get_static(self, num_cp_gates, r) -> StaticOptions:
         default_static = asdict(BasicOptions())
@@ -373,7 +385,8 @@ class AdaptiveOptions(BasicOptions):
         basic = {k: v for k, v in options_dict.items() if k in default_static}
         basic['num_cp_gates'] = num_cp_gates
         basic['r'] = r
-        basic['accepted_num_cz_gates'] = None
+        # adaptive trials filter on entry_loss only; any CZ count may enter
+        basic['accepted_num_cz_gates'] = np.iinfo(np.int32).max
         return StaticOptions(**basic)
 
 
@@ -652,8 +665,11 @@ class Synthesize:
         cache[key] = (jax.jit(stage), anz)
         return cache[key]
 
-    def _verify(self, anz: Ansatz, angles_batch: np.ndarray, options
-                ) -> cand.VerifiedBatch:
+    def _verify(self, anz: Ansatz, angles_batch: np.ndarray,
+                options: BasicOptions) -> cand.VerifiedBatch:
+        # only BasicOptions fields are read, so static AND adaptive options
+        # objects are both accepted directly (no synthetic StaticOptions with
+        # placeholder required fields).
         # pad the candidate count to buckets of 8 (repeating a row) so the
         # verification executable compiles for few distinct shapes
         angles_batch = np.asarray(angles_batch)
@@ -708,19 +724,19 @@ class Synthesize:
                 print(msg, flush=True)
 
         results = self._initialize_results(save_results, save_to)
-        log(f'\nStarting decomposition routine with the following options:\n{options}')
+        log(f'\nSynthesis run starting; options:\n{options}')
 
-        log('\nComputing raw results...')
+        log('\nRunning the multi-start sampling stage...')
         ev = self._raw_and_evaluate(options)
 
-        log('\nSelecting prospective results...')
+        log('\nFiltering candidates against the entry thresholds...')
         prospective = cand.filter_prospective(
             ev, threshold_cz_count=options.accepted_num_cz_gates,
             threshold_loss=options.entry_loss)
 
         successful: List[Decomposition] = []
         if len(prospective):
-            log(f'\nFound {len(prospective)}. Verifying...')
+            log(f'\n{len(prospective)} candidates pass; verifying...')
             anz = self._ansatz(options)
             ver = self._verify(anz, ev.angles[prospective], options)
             for pos in range(len(prospective)):
@@ -729,15 +745,15 @@ class Synthesize:
                                                  static_options=options)
                     successful.append(d)
             if successful:
-                log(f'\n{len(successful)} successful. cz counts are:')
+                log(f'\n{len(successful)} verified; CZ counts:')
                 log(sorted([d.cz_count for d in successful]))
                 results.decompositions = list(results.decompositions) + successful
                 if save_results:
                     results.save()
             else:
-                log('\nAll prospective results failed.')
+                log('\nNo candidate survived verification.')
         else:
-            log('\nNo results passed.')
+            log('\nNo candidates passed the entry thresholds.')
 
         return results
 
@@ -751,7 +767,7 @@ class Synthesize:
             if verbose:
                 print(msg, flush=True)
 
-        log(f'\nStarting decomposition routine with the following options:\n{options}')
+        log(f'\nSynthesis run starting; options:\n{options}')
 
         space = [
             tpe.QUniformInt('num_cp_gates', options.min_num_cp_gates,
@@ -761,7 +777,7 @@ class Synthesize:
 
         results = self._initialize_results(save_results, save_to)
         if results.trials is not None:
-            log('\nFound existing trials, resuming from here.')
+            log('\nExisting trials found on disk - resuming.')
             trials = results.trials
             random_seed = trials.results[-1]['random_seed']
             num_existing = len(trials.results)
@@ -776,7 +792,7 @@ class Synthesize:
             scoreboard = [losses.theoretical_lower_bound(self.num_qubits)]
 
         if num_existing >= options.max_evals:
-            log('Maximum number of evaluations reached.')
+            log('Evaluation budget already exhausted.')
 
         def objective(random_seed, search_params):
             num_cp_gates, r = int(search_params[0]), float(search_params[1])
@@ -805,11 +821,13 @@ class Synthesize:
             cz_counts = [int(ev.cz[i]) for i in prospective]
 
             # score: soft-min of cz counts, normalized per sample, log scale
-            # (reference main.py:735-737)
-            batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+            # (reference main.py:735-737). Normalize by num_samples, NOT the
+            # mesh-padded batch: trials persist via Results.save and may be
+            # resumed on a machine with a different device count, and TPE's
+            # good/bad split must score both halves on the same scale.
             score_val = np.sum(2.0 ** (-np.array(cz_counts, dtype=np.float64)))
             with np.errstate(divide='ignore'):
-                score = float(np.log2(score_val / batch))
+                score = float(np.log2(score_val / options.num_samples))
 
             log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
 
@@ -861,23 +879,21 @@ class Synthesize:
             to_verify = [[cz, angles] for cz, angles in prospect_list
                          if cz < current_best_cz]
             if to_verify:
-                log(f'\nFound {len(to_verify)} decompositions potentially '
-                    f'improving the current best count {current_best_cz}, '
-                    f'verifying...')
+                log(f'\n{len(to_verify)} candidates beat the current best '
+                    f'CZ count {current_best_cz}; verifying...')
             else:
-                log(f'\nFound no decompositions potentially improving the '
-                    f'current best count {current_best_cz}.')
+                log(f'\nNo candidate beats the current best CZ count '
+                    f'{current_best_cz}.')
 
             if to_verify:
                 anz = self._ansatz(options.get_static(num_cp_gates, r))
                 angles_batch = np.stack([a for _, a in to_verify])
-                ver = self._verify(anz, angles_batch,
-                                   options.get_static(None, None))
+                ver = self._verify(anz, angles_batch, options)
                 found = False
                 for pos in range(len(to_verify)):
                     if ver.success[pos]:
                         num_cz = int(ver.cz[pos])
-                        log(f'\nFound a new decomposition with {num_cz} gates.')
+                        log(f'\nNew verified decomposition: {num_cz} CZ gates.')
                         scoreboard.insert(0, num_cz)
                         d = self._make_decomposition(
                             anz, ver.best_angles[pos],
@@ -889,11 +905,11 @@ class Synthesize:
                         found = True
                         break
                 if not found:
-                    log('\nNone of prospective decompositions passed.')
+                    log('\nNone of the candidates survived verification.')
 
             if options.stop_if_target_reached and \
                     scoreboard[0] <= options.target_num_cz_gates:
-                log('\nTarget number of gates reached.')
+                log('\nTarget CZ count reached - stopping early.')
                 break
 
         return results

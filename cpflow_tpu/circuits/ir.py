@@ -284,11 +284,39 @@ _QASM_QUBIT_RE = re.compile(r'([a-zA-Z_][\w]*)\s*\[\s*(\d+)\s*\]')
 
 
 def _eval_qasm_expr(expr: str) -> float:
-    """Evaluate a QASM angle expression (pi arithmetic only)."""
-    allowed = {'pi': math.pi}
-    if not re.fullmatch(r'[\d\.\s\+\-\*/\(\)epi]+', expr):
+    """Evaluate a QASM angle expression: numeric literals, 'pi', + - * /,
+    unary signs and parentheses — a checked ast walk, so anything outside
+    that grammar is a clean parse error (no eval)."""
+    import ast
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            return float(node.value)
+        if isinstance(node, ast.Name) and node.id == 'pi':
+            return math.pi
+        if isinstance(node, ast.BinOp) and \
+                isinstance(node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div)):
+            lhs, rhs = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.Add):
+                return lhs + rhs
+            if isinstance(node.op, ast.Sub):
+                return lhs - rhs
+            if isinstance(node.op, ast.Mult):
+                return lhs * rhs
+            return lhs / rhs
+        if isinstance(node, ast.UnaryOp) and \
+                isinstance(node.op, (ast.UAdd, ast.USub)):
+            v = ev(node.operand)
+            return -v if isinstance(node.op, ast.USub) else v
         raise ValueError(f'unsupported qasm expression {expr!r}')
-    return float(eval(expr, {'__builtins__': {}}, allowed))  # noqa: S307
+
+    try:
+        tree = ast.parse(expr.strip(), mode='eval')
+    except SyntaxError as e:
+        raise ValueError(f'unsupported qasm expression {expr!r}') from e
+    return float(ev(tree))
 
 
 def parse_qasm(text: str) -> Circuit:

@@ -102,12 +102,12 @@ def reorder_wires(wires, num_qubits):
     return list(wires) + [w for w in all_wires if w not in wires]
 
 
-def move_wires_up(u, num_qubits, wires):
+def move_wires_up(u, num_qubits, wires, xp=jnp):
     """Permute tensor legs so `wires` come first (matrix_utils.py:77-86)."""
     u = u.reshape([2] * (2 * num_qubits))
     in_legs = reorder_wires(wires, num_qubits)
     out_legs = [w + num_qubits for w in in_legs]
-    u = jnp.transpose(u, axes=in_legs + out_legs)
+    u = xp.transpose(u, axes=in_legs + out_legs)
     return u.reshape(2 ** num_qubits, 2 ** num_qubits)
 
 
@@ -148,14 +148,14 @@ def shift_block_diagonal_matrix(u, m):
     return u[src][:, src]
 
 
-def block_diagonal_split(u, num_qubits, n):
+def block_diagonal_split(u, num_qubits, n, xp=jnp):
     """Split into block-diagonal part, its block-shifted version, and the
     off-block-diagonal remainder (matrix_utils.py:118-134)."""
     dim = 2 ** num_qubits
     block = 2 ** n
     identity_dim = num_qubits - n
-    mask = jnp.kron(jnp.eye(2 ** identity_dim, dtype=u.dtype),
-                    jnp.ones((block, block), dtype=u.dtype))
+    mask = xp.kron(xp.eye(2 ** identity_dim, dtype=u.dtype),
+                   xp.ones((block, block), dtype=u.dtype))
     u_diag = mask * u
     u_off_diag = (1 - mask) * u
     src = _shift_indices(dim, block)
@@ -175,39 +175,47 @@ def tensor_identity_loss_frobenius(u, num_qubits, wires):
     return loss_diag + loss_off
 
 
-def tensor_identity_loss(u, num_qubits, wires):
+def tensor_identity_loss(u, num_qubits, wires, xp=jnp):
     """0 iff u acts as identity on `wires` (up to factorization), else positive
     (matrix_utils.py:151-176)."""
-    u = move_wires_up(u, num_qubits, wires)
+    u = move_wires_up(u, num_qubits, wires, xp=xp)
     block_size = num_qubits - len(wires)
-    u_diag, u_diag_shifted, u_off_diag = block_diagonal_split(u, num_qubits, block_size)
+    u_diag, u_diag_shifted, u_off_diag = block_diagonal_split(
+        u, num_qubits, block_size, xp=xp)
 
-    sp_total = jnp.abs((u_diag * u_diag_shifted.conj()).sum(axis=1).sum())
-    loss_off = (jnp.abs(u_off_diag) ** 2).sum()
+    sp_total = xp.abs((u_diag * u_diag_shifted.conj()).sum(axis=1).sum())
+    loss_off = (xp.abs(u_off_diag) ** 2).sum()
     loss_diag = 1 - sp_total / 2 ** num_qubits
     return loss_diag + loss_off
 
 
-def tensor_diagonal_loss(u, num_qubits, wires):
+def tensor_diagonal_loss(u, num_qubits, wires, xp=jnp):
     """0 iff u acts diagonally on `wires` (matrix_utils.py:179-201)."""
-    u = move_wires_up(u, num_qubits, wires)
+    u = move_wires_up(u, num_qubits, wires, xp=xp)
     block_size = num_qubits - len(wires)
-    u_diag, u_diag_shifted, u_off_diag = block_diagonal_split(u, num_qubits, block_size)
+    u_diag, u_diag_shifted, u_off_diag = block_diagonal_split(
+        u, num_qubits, block_size, xp=xp)
 
-    sp_vec = jnp.abs((u_diag * u_diag_shifted.conj()).sum(axis=1))
+    sp_vec = xp.abs((u_diag * u_diag_shifted.conj()).sum(axis=1))
     sp_total = (sp_vec ** 2).sum()
-    loss_off = (jnp.abs(u_off_diag) ** 2).sum()
+    loss_off = (xp.abs(u_off_diag) ** 2).sum()
     loss_diag = 1 - sp_total / 2 ** num_qubits
     return loss_diag + loss_off
 
 
-def disc_modulo_identity(u_target, u, num_qubits, wires):
+def disc_modulo_identity(u_target, u, num_qubits, wires, xp=jnp):
     """Zero iff u == u_target up to a transform acting as identity on `wires`
-    (matrix_utils.py:204-208)."""
-    return tensor_identity_loss((u @ u_target).conj().T, num_qubits, wires)
+    (matrix_utils.py:204-208).
+
+    xp: jnp (device pipeline, default) or numpy — the host refinement path
+    evaluates the same math substrate-free (no device dispatch per probe).
+    """
+    return tensor_identity_loss((u @ u_target).conj().T, num_qubits, wires,
+                                xp=xp)
 
 
-def disc_modulo_diagonal(u_target, u, num_qubits, wires):
+def disc_modulo_diagonal(u_target, u, num_qubits, wires, xp=jnp):
     """Zero iff u == u_target times diagonal+spectator transforms
-    (matrix_utils.py:211-215)."""
-    return tensor_diagonal_loss((u @ u_target).conj().T, num_qubits, wires)
+    (matrix_utils.py:211-215). See disc_modulo_identity for `xp`."""
+    return tensor_diagonal_loss((u @ u_target).conj().T, num_qubits, wires,
+                                xp=xp)

@@ -10,26 +10,25 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from cpflow_tpu import config
 
 
 def min_angle(F):
-    """Argmin of F(x) = F0 cos x + F1 sin x + const (trigonometric_utils.py:7-25)."""
-    F_0 = F(0.0)
-    F_1 = F(jnp.pi / 2)
-    F_2 = F(jnp.pi)
+    """Argmin of F(x) = A cos x + B sin x + const (trigonometric_utils.py:7-25).
 
-    F_const = (F_0 + F_2) / 2
-    a = F_0 - F_const
-    b = F_1 - F_const
-
-    return lax.cond(
-        a == 0,
-        lambda _: -jnp.pi / 2 * jnp.sign(b),
-        lambda _: jnp.arctan(b / a) + jnp.pi * jnp.heaviside(a, 0.5),
-        operand=None)
+    Three probes pin the wave: const = (F(0) + F(pi)) / 2, A = F(0) - const,
+    B = F(pi/2) - const. The wave is R cos(x - phi) with phi = atan2(B, A),
+    so its minimum sits at phi + pi. The atan2 form is branch-free and exact
+    at A ~= 0 (an arctan(B/A) formulation is singular there — the weakness
+    the reference's own comment flags); results agree with the reference's
+    modulo 2*pi, which is all a rotation angle is defined up to.
+    """
+    f0 = F(0.0)
+    f1 = F(jnp.pi / 2)
+    f2 = F(jnp.pi)
+    c = (f0 + f2) / 2
+    return jnp.arctan2(f1 - c, f0 - c) + jnp.pi
 
 
 def min_angles(F, angles, s0, s1):

@@ -367,9 +367,13 @@ def verify_candidates_batch(unitary_loss_func,
         def stage(cand_cp):
             inits_cp, frozen_cp = jax.vmap(prepare)(cand_cp)
             mask_pb = (1.0 - frozen_cp.astype(config.real_dtype)).T
+            # target_loss early exit: verification usually converges well
+            # before the full budget, so the sweep stops as soon as every
+            # candidate is under the acceptance threshold
             best_params, best_reg, _ = engine.fused_adam_sweep(
                 regloss_fn, inits_cp.T, learning_rate=learning_rate,
-                num_iterations=num_iterations, grad_mask_pb=mask_pb)
+                num_iterations=num_iterations, grad_mask_pb=mask_pb,
+                target_loss=target_loss)
             cz = cz_value(inits_cp * cp_mask_j[None, :],
                           threshold=threshold_cp).sum(axis=1).astype(jnp.int32)
             return best_params.T, best_reg, cz, frozen_cp

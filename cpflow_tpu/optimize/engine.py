@@ -219,11 +219,21 @@ def fused_adam_sweep(regloss_and_loss_batch: Callable,
                      params0,
                      learning_rate: float = 0.1,
                      num_iterations: int = 5000,
-                     grad_mask_pb=None):
+                     grad_mask_pb=None,
+                     init_vals=None,
+                     target_loss=None):
     """Traceable core of the fused sweep: params0 (P, B) -> (best_params
     (P, B), best_regloss (B,), best_loss (B,)) with best-so-far tracking
     (reference optimization.py:61-94 semantics). Compose inside a larger
-    jitted program to avoid extra dispatches."""
+    jitted program to avoid extra dispatches.
+
+    init_vals: optional precomputed (regloss0, loss0) at params0, so callers
+    that already evaluated the objective don't pay a second evaluation.
+    target_loss: when given, the sweep stops as soon as EVERY restart's best
+    (unregularized) loss is at or under it — the early exit the reference
+    stubs out ("not yet supported", optimization.py:38-39). Results for
+    restarts that converged are identical to a full-length run; use it where
+    convergence is the common case (verification)."""
     opt = optax.adam(learning_rate)
 
     def objective(params_pb):
@@ -231,9 +241,12 @@ def fused_adam_sweep(regloss_and_loss_batch: Callable,
         return regloss.sum(), (regloss, loss)
 
     val_grad = jax.value_and_grad(objective, has_aux=True)
-    regloss0, loss0 = regloss_and_loss_batch(params0)
+    if init_vals is None:
+        regloss0, loss0 = regloss_and_loss_batch(params0)
+    else:
+        regloss0, loss0 = init_vals
 
-    def body(i, carry):
+    def step(carry):
         params, best_params, best_reg, best_loss, opt_state = carry
         (_, (regloss, loss)), grads = val_grad(params)
         if grad_mask_pb is not None:
@@ -247,8 +260,17 @@ def fused_adam_sweep(regloss_and_loss_batch: Callable,
         return new_params, best_params, best_reg, best_loss, opt_state
 
     carry = (params0, params0, regloss0, loss0, opt.init(params0))
-    _, best_params, best_reg, best_loss, _ = lax.fori_loop(
-        0, num_iterations, body, carry)
+
+    if target_loss is None:
+        _, best_params, best_reg, best_loss, _ = lax.fori_loop(
+            0, num_iterations, lambda i, c: step(c), carry)
+    else:
+        def cond(ic):
+            i, c = ic
+            return (i < num_iterations) & ~jnp.all(c[3] <= target_loss)
+
+        _, (_, best_params, best_reg, best_loss, _) = lax.while_loop(
+            cond, lambda ic: (ic[0] + 1, step(ic[1])), (jnp.int32(0), carry))
     return best_params, best_reg, best_loss
 
 
@@ -258,7 +280,8 @@ def minimize_fused(regloss_and_loss_batch: Callable,
                    num_iterations: int = 5000,
                    keep_history: bool = False,
                    grad_mask=None,
-                   sharding=None) -> RawResult:
+                   sharding=None,
+                   target_loss=None) -> RawResult:
     """Fused batch-last multi-start Adam: the TPU hot path.
 
     regloss_and_loss_batch: f(params_PB) -> (regloss_B, loss_B), typically
@@ -315,7 +338,8 @@ def minimize_fused(regloss_and_loss_batch: Callable,
             regloss0, loss0 = regloss_and_loss_batch(params0)
             best_params, best_reg, best_loss = fused_adam_sweep(
                 regloss_and_loss_batch, params0, learning_rate=learning_rate,
-                num_iterations=num_iterations, grad_mask_pb=mask_pb)
+                num_iterations=num_iterations, grad_mask_pb=mask_pb,
+                init_vals=(regloss0, loss0), target_loss=target_loss)
 
             params_hist = jnp.stack([params0.T, best_params.T], axis=1)  # (B,2,P)
             regloss_hist = jnp.stack([regloss0, best_reg], axis=1)       # (B,2)

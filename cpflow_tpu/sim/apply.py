@@ -1,51 +1,50 @@
 """Applying k-qubit gates to 2n-leg unitary tensors.
 
-Parity target: reference cpflow/circuit_assembly.py:7-45. The accumulated
-unitary is kept as a tensor of shape [2]*2n (first n legs = output/row
-indices, last n = input/column). Left-multiplying by a gate at `placement`
-is a tensordot over the placement legs followed by a *static* transpose —
-placements are compile-time constants, so XLA sees fixed contractions and
-layout changes and fuses the whole gate chain.
+Behavioral parity target: reference cpflow/circuit_assembly.py (left-multiply
+a gate into an accumulated unitary kept as a [2]*2n tensor, first n legs =
+output/row indices, last n = input/column indices).
+
+Implementation is the per-restart statement of the batched hot path's idiom
+(sim/batched.py:_apply_gate_batched): move the placement legs to the front
+with one static permutation, contract the flattened gate matrix against the
+flattened remainder, and restore the layout with the argsort-inverse of the
+same permutation. Placements are compile-time constants, so XLA sees fixed
+contractions and layout changes and fuses the whole gate chain.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from cpflow_tpu import config
 
 
-def gate_transposition(placement):
-    """Transposition induced by the initial placement of the gate
-    (circuit_assembly.py:7-13)."""
-    position_index = [(placement[i], i) for i in range(len(placement))]
-    position_index.sort()
-    return [i for _, i in position_index]
-
-
-def transposition(n_qubits, placement):
-    """Permutation that moves the gate's output legs back into `placement`
-    positions after a tensordot (circuit_assembly.py:16-28).
-
-    Example: n=6, placement=[1,3] -> [2,0,3,1,4,5];
-             twisted [3,1] -> [2,1,3,0,4,5].
-    """
-    gate_width = len(placement)
-    t = list(range(gate_width, n_qubits))
-    for position, insertion in zip(sorted(placement), gate_transposition(placement)):
-        t.insert(position, insertion)
-    return t
+def inverse_leg_permutation(n_qubits, placement):
+    """Inverse of the move-placement-legs-to-front permutation, restricted to
+    the n row legs: position q of the result names where leg q sits after a
+    contraction has left the gate's output legs (in placement order) at the
+    front and the untouched legs behind them."""
+    front = list(placement) + [q for q in range(n_qubits) if q not in placement]
+    return [int(i) for i in np.argsort(front)]
 
 
 def apply_gate_to_tensor(gate, tensor, placement):
-    """Left-multiply `gate` into `tensor` at the output legs in `placement`
-    (circuit_assembly.py:31-45)."""
-    gate_width = len(gate.shape) // 2
-    tensor_width = len(tensor.shape) // 2
+    """Left-multiply `gate` into `tensor` at the row legs in `placement`.
 
-    gate_contraction_axes = list(range(gate_width, 2 * gate_width))
-    contraction = jnp.tensordot(gate, tensor, axes=[gate_contraction_axes, list(placement)],
-                                precision=config.PRECISION)
+    gate: [2]*2k tensor (or any shape reshapeable to (2^k, 2^k));
+    tensor: [2]*2n; placement: the k row legs the gate acts on, in gate-leg
+    order (so a twisted placement like [3, 1] puts gate leg 0 on qubit 3).
+    """
+    n = tensor.ndim // 2
+    k = len(placement)
+    dim_g = 2 ** k
 
-    t = transposition(tensor_width, placement) + list(range(tensor_width, 2 * tensor_width))
-    return jnp.transpose(contraction, axes=t)
+    front = list(placement) + [q for q in range(n) if q not in placement]
+    perm = front + list(range(n, 2 * n))
+    moved = jnp.transpose(tensor, perm).reshape(dim_g, -1)
+
+    out = jnp.matmul(jnp.reshape(gate, (dim_g, dim_g)), moved,
+                     precision=config.PRECISION)
+
+    return jnp.transpose(out.reshape([2] * (2 * n)), np.argsort(perm))

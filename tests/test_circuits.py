@@ -194,3 +194,16 @@ def test_draw_smoke():
     c = Circuit(2).h(0).cz(0, 1).rx(0.5, 1)
     s = c.draw()
     assert 'q0' in s and 'q1' in s
+
+
+def test_qasm_expr_rejects_non_arithmetic():
+    from cpflow_tpu.circuits.ir import _eval_qasm_expr
+    import math as _math
+    import pytest as _pytest
+
+    assert _eval_qasm_expr('3*pi/4') == _pytest.approx(3 * _math.pi / 4)
+    assert _eval_qasm_expr('-pi/2') == _pytest.approx(-_math.pi / 2)
+    assert _eval_qasm_expr(' 2e-1 ') == _pytest.approx(0.2)
+    for bad in ('pie', 'ee1', 'pi**2', '__import__("os")', 'pi(1)', ''):
+        with _pytest.raises(ValueError):
+            _eval_qasm_expr(bad)

@@ -124,3 +124,28 @@ def test_tensor_identity_loss_frobenius():
     assert float(losses.tensor_identity_loss_frobenius(u, 3, [0])) == pytest.approx(0.0, abs=1e-5)
     ux = jnp.kron(gates.x_mat, jnp.eye(4, dtype=jnp.complex64))
     assert float(losses.tensor_identity_loss_frobenius(ux, 3, [0])) > 0.5
+
+
+def test_modulo_losses_numpy_path_matches_jax():
+    """LossSpec.numpy for modulo kinds runs on the numpy substrate and
+    agrees with the jax evaluation."""
+    from cpflow_tpu.api import LossSpec
+    from cpflow_tpu.ops import gates
+
+    rng = np.random.default_rng(3)
+    n = 3
+    d = 2 ** n
+
+    def ru(seed):
+        g = np.random.default_rng(seed)
+        q, _ = np.linalg.qr(g.normal(size=(d, d)) + 1j * g.normal(size=(d, d)))
+        return q.astype(np.complex64)
+
+    u = ru(3)
+    target = ru(4)
+
+    for kind in ('modulo_identity', 'modulo_diagonal'):
+        spec = LossSpec(kind, target=target, wires=[0, 1], num_qubits=n)
+        ref = float(spec(jnp.asarray(u)))
+        got = spec.numpy(u)
+        assert got == pytest.approx(ref, abs=1e-5)

@@ -263,3 +263,43 @@ def test_reference_shaped_single_candidate_wrappers():
     u = np.asarray(u_func(best_angs))
     from cpflow_tpu.circuits.passes import hst_distance
     assert hst_distance(qc.unitary().astype(np.complex64), u) < 1e-4
+
+
+def test_fused_sweep_target_loss_early_exit():
+    """With target_loss set, the sweep stops once every restart is under it
+    and still reports converged best values (quadratic bowl: converges fast)."""
+    from cpflow_tpu.optimize.engine import fused_adam_sweep
+
+    def regloss_fn(p):  # (P, B) -> per-restart quadratic
+        v = (p ** 2).sum(axis=0)
+        return v, v
+
+    p0 = jnp.array(np.random.default_rng(0).normal(size=(3, 4)),
+                   dtype=jnp.float32)
+    _, full_reg, _ = jax.jit(lambda q: fused_adam_sweep(
+        regloss_fn, q, learning_rate=0.2, num_iterations=500))(p0)
+    _, early_reg, early_loss = jax.jit(lambda q: fused_adam_sweep(
+        regloss_fn, q, learning_rate=0.2, num_iterations=500,
+        target_loss=1e-3))(p0)
+    assert np.all(np.asarray(early_loss) <= 1e-3)
+    # early-exit bests are exactly as converged as required
+    assert np.all(np.asarray(early_reg) <= 1e-3)
+    assert np.all(np.asarray(full_reg) <= np.asarray(early_reg) + 1e-6)
+
+
+def test_fused_sweep_init_vals_match():
+    """Passing precomputed (regloss0, loss0) must not change results."""
+    from cpflow_tpu.optimize.engine import fused_adam_sweep
+
+    def regloss_fn(p):
+        v = ((p - 1.0) ** 2).sum(axis=0)
+        return v, v
+
+    p0 = jnp.array(np.random.default_rng(1).normal(size=(2, 3)),
+                   dtype=jnp.float32)
+    bp_a, br_a, bl_a = jax.jit(lambda q: fused_adam_sweep(
+        regloss_fn, q, num_iterations=50))(p0)
+    bp_b, br_b, bl_b = jax.jit(lambda q: fused_adam_sweep(
+        regloss_fn, q, num_iterations=50, init_vals=regloss_fn(q)))(p0)
+    np.testing.assert_allclose(np.asarray(bp_a), np.asarray(bp_b))
+    np.testing.assert_allclose(np.asarray(br_a), np.asarray(br_b))

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from cpflow_tpu.ops import gates
-from cpflow_tpu.sim.apply import apply_gate_to_tensor, transposition
+from cpflow_tpu.sim.apply import apply_gate_to_tensor, inverse_leg_permutation
 from cpflow_tpu.sim import ansatz_kernel as ak
 from cpflow_tpu.topology import fill_layers, chain_layer, connected_layer
 
@@ -31,10 +31,11 @@ def embed_gate(gate, placement, n):
     return full
 
 
-def test_transposition_examples():
-    # examples documented in reference circuit_assembly.py:16-19
-    assert transposition(6, [1, 3]) == [2, 0, 3, 1, 4, 5]
-    assert transposition(6, [3, 1]) == [2, 1, 3, 0, 4, 5]
+def test_inverse_leg_permutation_examples():
+    # same layout-restoring permutations the reference documents
+    # (circuit_assembly.py:16-19), derived here as an argsort inverse
+    assert inverse_leg_permutation(6, [1, 3]) == [2, 0, 3, 1, 4, 5]
+    assert inverse_leg_permutation(6, [3, 1]) == [2, 1, 3, 0, 4, 5]
 
 
 @pytest.mark.parametrize("n,placement", [
