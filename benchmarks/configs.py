@@ -170,20 +170,199 @@ def qasm_sweep(num_samples=None, max_evals=None):
             'results': out}
 
 
+# --------------------------------------------------------------------------
+# Paper capability table (CPFlow.tex tab toff4 / sec toff5 / tab bench III /
+# app 5q): every published row as a resumable, early-stopping adaptive run.
+# --------------------------------------------------------------------------
+
+def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
+                  min_k, max_k, num_samples, max_evals, target_cz,
+                  reference_cz, rotation_gates='xyz'):
+    """Resumable bucketed adaptive search that stops at the published count.
+
+    Results persist under benchmarks/results/<label>; rerunning the config
+    resumes the TPE trials instead of starting over (reference main.py's
+    Results contract), so long paper-scale searches survive interruption.
+    """
+    _setup_jax()
+    from cpflow_tpu import Synthesize, AdaptiveOptions
+
+    save_to = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'results', label)
+    t0 = time.time()
+    s = Synthesize(layer, target_unitary=target_unitary,
+                   unitary_loss_func=loss_spec, label=label)
+    options = AdaptiveOptions(
+        min_num_cp_gates=min_k, max_num_cp_gates=max_k,
+        num_samples=num_samples, max_evals=max_evals, bucketed=True,
+        rotation_gates=rotation_gates,
+        target_num_cz_gates=target_cz, stop_if_target_reached=True)
+    results = s.adaptive(options, save_results=True, save_to=save_to,
+                         verbose=bool(os.environ.get('CPFLOW_VERBOSE')))
+    wall = time.time() - t0
+    best_cz = min((d.cz_count for d in results.decompositions), default=None)
+    best_loss = min((float(d.loss) for d in results.decompositions),
+                    default=None)
+    return {'config': label, 'wall_s': round(wall, 1), 'best_cz': best_cz,
+            'reference_cz': reference_cz, 'best_loss': best_loss,
+            'evals': len(results.trials.results)}
+
+
+def _toff4(topology_name, layer, target_cz, max_evals=60, num_samples=1024):
+    from cpflow_tpu.ops.gates import u_toff4
+    return _adaptive_run(
+        f'toffoli4_{topology_name}', layer, target_unitary=u_toff4,
+        min_k=10, max_k=40, num_samples=num_samples, max_evals=max_evals,
+        target_cz=target_cz, reference_cz=target_cz)
+
+
+def toffoli4_connected():
+    """tab toff4: fully connected, published 14 CZ (needed ~200 evals)."""
+    from cpflow_tpu.topology import connected_layer
+    return _toff4('connected', connected_layer(4), 14, max_evals=200)
+
+
+def toffoli4_kite():
+    """tab toff4: kite, published 14 CZ."""
+    from cpflow_tpu.topology import kite_layer
+    return _toff4('kite', kite_layer(), 14)
+
+
+def toffoli4_square():
+    """tab toff4: square (cycle), published 16 CZ."""
+    from cpflow_tpu.topology import square_layer
+    return _toff4('square', square_layer(4), 16)
+
+
+def toffoli4_star():
+    """tab toff4: star, published 16 CZ (CPFlow's improvement over 17)."""
+    from cpflow_tpu.topology import star_layer
+    return _toff4('star', star_layer(4), 16)
+
+
+def toffoli4_chain():
+    """tab toff4: chain, published 18 CZ."""
+    from cpflow_tpu.topology import chain_layer
+    return _toff4('chain', chain_layer(4), 18)
+
+
+def toffoli5_connected():
+    """sec toff5: direct synthesis of the 5q Toffoli, best published 36 CZ
+    ('several hours' in the reference)."""
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli5_connected', connected_layer(5), target_unitary=u_toff5,
+        min_k=25, max_k=50, num_samples=1024, max_evals=80,
+        target_cz=36, reference_cz=36)
+
+
+def c3sqrtx_chain():
+    """app 5q: C3-sqrt(X) on the 4q chain, published 18 CZ — one of the two
+    blocks of the 48-CZ chain toffoli-5 construction."""
+    from cpflow_tpu.ops.gates import multi_controlled_sqrt_x
+    from cpflow_tpu.topology import chain_layer
+    return _adaptive_run(
+        'c3sqrtx_chain', chain_layer(4),
+        target_unitary=multi_controlled_sqrt_x(4),
+        min_k=10, max_k=40, num_samples=1024, max_evals=60,
+        target_cz=18, reference_cz=18)
+
+
+def relphase_toff4_chain():
+    """app 5q: relative-phase 4q Toffoli on the chain, published 11 CZ —
+    synthesis modulo a diagonal transform (the modulo_diagonal loss)."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import u_toff4
+    from cpflow_tpu.topology import chain_layer
+    spec = LossSpec('modulo_diagonal', target=u_toff4, num_qubits=4,
+                    wires=[0, 1, 2, 3])
+    return _adaptive_run(
+        'relphase_toff4_chain', chain_layer(4), loss_spec=spec,
+        min_k=6, max_k=30, num_samples=1024, max_evals=60,
+        target_cz=11, reference_cz=11)
+
+
+_QX = '/root/reference/paper/benchmark_circuits'
+
+
+def _qasm_adaptive(fname, published, *, min_k=20, max_k=60, num_samples=1024,
+                   max_evals=60):
+    """tab bench: one ibm_qx circuit on the connected 5q topology."""
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.topology import connected_layer
+    import glob
+    matches = glob.glob(f'{_QX}/*/{fname}.qasm')
+    qc = Circuit.from_qasm_file(matches[0])
+    u_target = qc.unitary().astype(np.complex64)
+    return _adaptive_run(
+        f'qx_{fname}', connected_layer(5), target_unitary=u_target,
+        min_k=min_k, max_k=max_k, num_samples=num_samples,
+        max_evals=max_evals, target_cz=published, reference_cz=published)
+
+
+def qx_4gt10_v1_81():
+    """tab bench III: published 37* (k in 40..60, 2000 samples)."""
+    return _qasm_adaptive('4gt10-v1_81', 37, min_k=35, max_k=60,
+                          num_samples=2048, max_evals=100)
+
+
+def qx_one_two_three_v1_99():
+    """tab bench III: published 52* (k in 40..60, 2000 samples)."""
+    return _qasm_adaptive('one-two-three-v1_99', 52, min_k=40, max_k=70,
+                          num_samples=2048, max_evals=100)
+
+
+def qx_one_two_three_v0_98():
+    """tab bench III: published 47* (k in 40..60, 2000 samples)."""
+    return _qasm_adaptive('one-two-three-v0_98', 47, min_k=40, max_k=65,
+                          num_samples=2048, max_evals=100)
+
+
+def qx_aj_e11_165():
+    """tab bench III: published 24 (standard options)."""
+    return _qasm_adaptive('aj-e11_165', 24, min_k=15, max_k=50,
+                          num_samples=1024, max_evals=60)
+
+
+PAPER_TABLE = {
+    'toffoli4_kite': toffoli4_kite,
+    'toffoli4_square': toffoli4_square,
+    'toffoli4_star': toffoli4_star,
+    'toffoli4_chain': toffoli4_chain,
+    'toffoli4_connected': toffoli4_connected,
+    'relphase_toff4_chain': relphase_toff4_chain,
+    'c3sqrtx_chain': c3sqrtx_chain,
+    'qx_aj_e11_165': qx_aj_e11_165,
+    'toffoli5_connected': toffoli5_connected,
+    'qx_4gt10_v1_81': qx_4gt10_v1_81,
+    'qx_one_two_three_v0_98': qx_one_two_three_v0_98,
+    'qx_one_two_three_v1_99': qx_one_two_three_v1_99,
+}
+
 ALL = {
     'readme_ccz': readme_ccz,
     'toffoli3_refine': toffoli3_refine,
     'ghz_state': ghz_state,
     'cccz_adaptive': cccz_adaptive,
     'qasm_sweep': qasm_sweep,
+    **PAPER_TABLE,
 }
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'readme_ccz'
-    names = list(ALL) if which == 'all' else [which]
+    if which == 'all':
+        names = list(ALL)
+    elif which == 'paper_table':
+        names = list(PAPER_TABLE)
+    else:
+        names = [which]
     for name in names:
-        result = ALL[name]()
+        try:
+            result = ALL[name]()
+        except Exception as e:  # noqa: BLE001 — keep the sweep going
+            result = {'config': name, 'error': f'{type(e).__name__}: {e}'}
         print(json.dumps(result), flush=True)
 
 

@@ -101,6 +101,18 @@ def multi_controlled_x(num_qubits: int) -> np.ndarray:
     return u
 
 
+def multi_controlled_sqrt_x(num_qubits: int) -> np.ndarray:
+    """C^{n-1}(sqrt X): identity except the bottom 2x2 block, which is the
+    principal square root of X (paper/CPFlow.tex sec toff5: the C3-sqrt-X
+    block of the 48-CZ chain toffoli-5 construction)."""
+    d = 2 ** num_qubits
+    u = np.eye(d, dtype=np.complex64)
+    sx = 0.5 * np.array([[1 + 1j, 1 - 1j], [1 - 1j, 1 + 1j]],
+                        dtype=np.complex64)
+    u[d - 2:, d - 2:] = sx
+    return u
+
+
 u_toff3 = multi_controlled_x(3)
 u_toff4 = multi_controlled_x(4)
 u_toff5 = multi_controlled_x(5)

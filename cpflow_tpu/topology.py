@@ -21,6 +21,17 @@ def star_layer(num_qubits):
     return [[0, i] for i in range(1, num_qubits)]
 
 
+def square_layer(num_qubits=4):
+    """Cycle topology (paper/CPFlow.tex tab toff4, 'square' diagram)."""
+    return [[i, (i + 1) % num_qubits] for i in range(num_qubits)]
+
+
+def kite_layer():
+    """4q 'kite': triangle {1,2,3} with tail 0-1
+    (paper/CPFlow.tex tab toff4, second diagram)."""
+    return [[0, 1], [1, 2], [1, 3], [2, 3]]
+
+
 def fill_layers(layer, depth):
     """Tile `layer` to produce `depth` blocks: full repetitions under 'layers'
     plus the remainder under 'free' (topology.py:15-20)."""

@@ -63,3 +63,28 @@ def test_toffoli_sizes():
     for u in [gates.u_toff4, gates.u_toff5]:
         un = np.asarray(u)
         np.testing.assert_allclose(un @ un, np.eye(un.shape[0]), atol=1e-7)
+
+
+def test_multi_controlled_sqrt_x():
+    for n in (3, 4):
+        sx = gates.multi_controlled_sqrt_x(n)
+        d = 2 ** n
+        assert np.allclose(sx @ sx.conj().T, np.eye(d), atol=1e-6)
+        assert np.allclose(sx @ sx, gates.multi_controlled_x(n), atol=1e-6)
+        # identity outside the controlled 2x2 block
+        assert np.allclose(sx[:d - 2, :d - 2], np.eye(d - 2))
+
+
+def test_new_topology_layers():
+    from cpflow_tpu.topology import (kite_layer, square_layer,
+                                     num_qubits_from_layer)
+    k = kite_layer()
+    s = square_layer(4)
+    assert num_qubits_from_layer(k) == 4 and len(k) == 4
+    assert num_qubits_from_layer(s) == 4 and len(s) == 4
+    # square is a simple cycle: every qubit has degree 2
+    deg = {}
+    for a, b in s:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert all(v == 2 for v in deg.values())
