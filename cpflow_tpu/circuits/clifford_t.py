@@ -268,15 +268,37 @@ def _default_sk(depth: int) -> SolovayKitaev:
     return _DEFAULT_SK
 
 
+def generic_rotation_word(name: str, angle: float, eps: float = 1e-5
+                          ) -> Optional[List[str]]:
+    """Clifford+T word for a generic-angle rotation via the Ross-Selinger
+    grid synthesis (circuits.gridsynth): T-count ~ 3 log2(1/eps), exact
+    integer arithmetic, supported down to eps ~ 1e-7 (the float64 interval
+    wall). rx/ry reduce to rz by Clifford conjugation:
+    Rx = H Rz H,  Ry = (S H) Rz (S H)^dag."""
+    from cpflow_tpu.circuits.gridsynth import gridsynth_rz
+
+    inner = gridsynth_rz(angle, eps=max(eps, 1e-7))
+    if inner is None:
+        return None
+    if name == 'rz':
+        return inner
+    if name == 'rx':
+        return ['h'] + inner + ['h']
+    if name == 'ry':
+        return ['sdg', 'h'] + inner + ['h', 's']
+    raise ValueError(name)
+
+
 def solovay_kitaev(circuit: Circuit, recursion_degree: int = 0,
-                   recursion_depth: int = 5) -> Circuit:
+                   recursion_depth: int = 5, eps: float = 1e-5) -> Circuit:
     """Rewrite every 1q rotation into Clifford+T gates
     (reference exact_decompositions.py:261-269, but self-contained).
 
     Exact pi/4-rational rz/rx angles take the exact minimal-word path;
-    anything else goes through Solovay-Kitaev with `recursion_degree`
-    rounds over a basic-approximation table of word length
-    ~ 2*recursion_depth. The caller's check_approximation decides whether
+    generic angles go through Ross-Selinger grid synthesis to distance
+    `eps` (gridsynth.py), with the Dawson-Nielsen Solovay-Kitaev table as
+    a fallback (`recursion_degree` rounds over words of length
+    ~ 2*recursion_depth). The caller's check_approximation decides whether
     the result is acceptable (refine(), exact_decompositions.py:328-342).
     """
     from cpflow_tpu.circuits.passes import check_approximation
@@ -295,14 +317,14 @@ def solovay_kitaev(circuit: Circuit, recursion_degree: int = 0,
         elif inst.name == 'rx':
             word = exact_rx_word(inst.param)
         if word is None:
+            word = generic_rotation_word(inst.name, float(inst.param), eps)
+        if word is None:  # gridsynth gave up: Solovay-Kitaev fallback
             if sk is None:
                 sk = _default_sk(2 * recursion_depth)
             if inst.name == 'rz':
                 target = np.diag([cmath.exp(-1j * inst.param / 2),
                                   cmath.exp(1j * inst.param / 2)])
-            elif inst.name == 'rx':
-                target = inst.gate_matrix()
-            else:  # ry
+            else:
                 target = inst.gate_matrix()
             word, _ = sk.decompose(target, recursion_degree=recursion_degree)
         for g in word:

@@ -1,0 +1,123 @@
+"""Ross-Selinger grid synthesis: exact rings, Diophantine solver, and
+end-to-end Clifford+T words for generic (non-pi/4) rotation angles — the
+capability the reference delegates to an external qiskit fork
+(exact_decompositions.py:14-21, 261-269)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from cpflow_tpu.circuits.gridsynth import (gridsynth_rz,
+                                           phase_invariant_distance,
+                                           solve_norm_equation, word_matrix)
+from cpflow_tpu.circuits.rings import (DELTA, LAMBDA, OMEGA, ZOmega, ZRt2,
+                                       factorize, is_prime, sqrt_mod)
+
+
+def _rz(theta):
+    return np.diag([np.exp(-1j * theta / 2), np.exp(1j * theta / 2)])
+
+
+def test_zomega_ring_axioms():
+    rng = random.Random(0)
+    for _ in range(50):
+        x = ZOmega(*(rng.randint(-9, 9) for _ in range(4)))
+        y = ZOmega(*(rng.randint(-9, 9) for _ in range(4)))
+        assert abs((x * y).to_complex() - x.to_complex() * y.to_complex()) < 1e-9
+        assert abs(x.conj().to_complex() - x.to_complex().conjugate()) < 1e-9
+        assert abs(x.norm_zrt2().value() - abs(x.to_complex()) ** 2) < 1e-9
+    assert OMEGA ** 8 == ZOmega(1)
+    assert (DELTA.conj() * DELTA) == (LAMBDA * ZRt2(0, 1)).to_zomega()
+
+
+def test_euclidean_division():
+    rng = random.Random(1)
+    for _ in range(50):
+        a = ZOmega(*(rng.randint(-20, 20) for _ in range(4)))
+        d = ZOmega(*(rng.randint(-5, 5) for _ in range(4)))
+        if not d:
+            continue
+        q, r = a.divmod_round(d)
+        assert q * d + r == a
+        assert r.norm_int() < d.norm_int()
+
+
+def test_number_theory_helpers():
+    assert is_prime(2 ** 61 - 1) and not is_prime(2 ** 67 - 1)
+    assert factorize(2 * 3 ** 4 * 10007) == {2: 1, 3: 4, 10007: 1}
+    for p in (10007, 65537):
+        r = sqrt_mod(2, p)
+        if r is not None:
+            assert r * r % p == 2
+
+
+def test_norm_equation_solutions_exact():
+    solved = 0
+    for xi in (ZRt2(2, 0), ZRt2(2, 1), ZRt2(7, 2), ZRt2(4, 1), ZRt2(14, 7)):
+        if not (xi.is_nonneg() and xi.adj2().is_nonneg()):
+            continue
+        t = solve_norm_equation(xi)
+        if t is not None:
+            assert t.norm_zrt2() == xi
+            solved += 1
+    assert solved >= 3
+
+
+def test_norm_equation_rejects_negative_embedding():
+    assert solve_norm_equation(ZRt2(17, 9)) is None  # 17 - 9 sqrt2 < 0
+
+
+@pytest.mark.parametrize("theta", [0.5, 2.2, -0.7, 3.9, 0.01, math.pi / 3])
+def test_gridsynth_rz_accuracy(theta):
+    for eps in (1e-3, 1e-5):
+        w = gridsynth_rz(theta, eps)
+        assert w is not None, (theta, eps)
+        d = phase_invariant_distance(word_matrix(w), _rz(theta))
+        assert d <= eps, (theta, eps, d)
+        # T-count stays near the information-theoretic 3 log2(1/eps)
+        tc = sum(1 for g in w if g in ('t', 'tdg'))
+        assert tc <= 6 * math.log2(1 / eps) + 8
+
+
+def test_generic_rotation_words_rx_ry():
+    from cpflow_tpu.circuits.clifford_t import generic_rotation_word
+    from cpflow_tpu.circuits.ir import FIXED_GATES
+
+    theta = 1.234
+
+    def mat(word):
+        m = np.eye(2, dtype=complex)
+        for g in word:
+            m = FIXED_GATES[g] @ m
+        return m
+
+    rx = np.array([[math.cos(theta / 2), -1j * math.sin(theta / 2)],
+                   [-1j * math.sin(theta / 2), math.cos(theta / 2)]])
+    ry = np.array([[math.cos(theta / 2), -math.sin(theta / 2)],
+                   [math.sin(theta / 2), math.cos(theta / 2)]])
+    for name, target in (('rx', rx), ('ry', ry)):
+        w = generic_rotation_word(name, theta, eps=1e-4)
+        assert w is not None
+        assert phase_invariant_distance(mat(w), target) <= 1e-4
+
+
+def test_circuit_with_irrational_angle_reaches_clifford_t():
+    """The VERDICT round-1 'done' criterion: a circuit containing a generic
+    (irrational multiple of pi) surviving angle refines to Clifford+T within
+    check_approximation tolerance."""
+    from cpflow_tpu.circuits.clifford_t import solovay_kitaev
+    from cpflow_tpu.circuits.ir import Circuit
+
+    qc = Circuit(2)
+    qc.append('rz', 0, 0.7)          # not a pi/4 multiple
+    qc.append('h', (1,))
+    qc.append('cz', (0, 1))
+    qc.append('rx', 1, 1.9)          # not a pi/4 multiple
+    qc.append('rz', 1, math.pi / 2)  # exact path
+
+    out = solovay_kitaev(qc, eps=1e-5)  # raises if drifted past 1e-5
+    names = {i.name for i in out.instructions}
+    assert names <= {'h', 't', 'tdg', 's', 'sdg', 'z', 'x', 'cz'}
+    assert out.gates_count(['t', 'tdg']) > 0

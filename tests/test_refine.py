@@ -111,9 +111,10 @@ def test_refine_pipeline_ccz_like():
     assert t_count == 0
 
 
-def test_refine_rolls_back_gracefully():
-    """A circuit with a genuinely irrational angle stays Approximate or
-    Rational but never corrupts the unitary."""
+def test_refine_handles_irrational_angles():
+    """A circuit with genuinely irrational angles must never corrupt the
+    unitary; with grid synthesis (circuits.gridsynth) such angles now reach
+    Clifford+T too (the round-1 Solovay-Kitaev table could not)."""
     c = Circuit(2)
     c.rz(1.113, 0).cz(0, 1).rx(0.456, 1)
     target = c.unitary()
@@ -121,7 +122,8 @@ def test_refine_rolls_back_gracefully():
 
     qc, rtype, t_count, t_depth = refine_mod.refine(c, loss)
     assert loss(qc.unitary()) < 1e-5
-    assert rtype in ('Approximate', 'Rational')
+    assert rtype == 'Clifford+T'
+    assert t_count > 0
 
 
 def test_polish_angles_restores_precision():
