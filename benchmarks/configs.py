@@ -189,6 +189,8 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
 
     save_to = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'results', label)
+    max_evals = int(os.environ.get('CPFLOW_MAX_EVALS', max_evals))
+    num_samples = int(os.environ.get('CPFLOW_NUM_SAMPLES', num_samples))
     t0 = time.time()
     s = Synthesize(layer, target_unitary=target_unitary,
                    unitary_loss_func=loss_spec, label=label)

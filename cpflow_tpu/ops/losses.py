@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cpflow_tpu import config
+
 
 def theoretical_lower_bound(n: int) -> int:
     """Min CZ count for a generic n-qubit unitary (matrix_utils.py:11-14)."""
@@ -76,7 +78,9 @@ def permutation_matrices(n):
 def disc2_swap(u, u_target, num_qubits):
     """Product of HST costs over all wire permutations (matrix_utils.py:45-49)."""
     mats = permutation_matrices(num_qubits)
-    return jnp.prod(jnp.array([cost_HST(m @ u, u_target) for m in mats]))
+    return jnp.prod(jnp.array([
+        cost_HST(jnp.matmul(m, u, precision=config.PRECISION), u_target)
+        for m in mats]))
 
 
 # --- Fubini-Study metric (natural gradient; matrix_utils.py:56-67) -----------
@@ -86,8 +90,10 @@ def fubini_study(u_func, x, relative_coeff=1.0):
     u_norm2 = jnp.abs(trace_prod(u, u))
     u_jac = jax.jacfwd(u_func)(x)
 
-    dudu = jnp.tensordot(u_jac, u_jac.conj(), axes=[[0, 1], [0, 1]])
-    udu = jnp.tensordot(u_jac, u.conj(), axes=[[0, 1], [0, 1]])
+    dudu = jnp.tensordot(u_jac, u_jac.conj(), axes=[[0, 1], [0, 1]],
+                         precision=config.PRECISION)
+    udu = jnp.tensordot(u_jac, u.conj(), axes=[[0, 1], [0, 1]],
+                        precision=config.PRECISION)
 
     gij = dudu / u_norm2 - relative_coeff * jnp.outer(udu.conj(), udu) / u_norm2 ** 2
     return jnp.real(gij)
@@ -203,6 +209,14 @@ def tensor_diagonal_loss(u, num_qubits, wires, xp=jnp):
     return loss_diag + loss_off
 
 
+def _matmul(a, b, xp=jnp):
+    """Matmul with full f32 precision on TPU (bf16 passes otherwise corrupt
+    loss values near convergence — CLAUDE.md); numpy has no precision arg."""
+    if xp is jnp:
+        return jnp.matmul(a, b, precision=config.PRECISION)
+    return xp.matmul(a, b)
+
+
 def disc_modulo_identity(u_target, u, num_qubits, wires, xp=jnp):
     """Zero iff u == u_target up to a transform acting as identity on `wires`
     (matrix_utils.py:204-208).
@@ -210,12 +224,12 @@ def disc_modulo_identity(u_target, u, num_qubits, wires, xp=jnp):
     xp: jnp (device pipeline, default) or numpy — the host refinement path
     evaluates the same math substrate-free (no device dispatch per probe).
     """
-    return tensor_identity_loss((u @ u_target).conj().T, num_qubits, wires,
-                                xp=xp)
+    return tensor_identity_loss(_matmul(u, u_target, xp).conj().T,
+                                num_qubits, wires, xp=xp)
 
 
 def disc_modulo_diagonal(u_target, u, num_qubits, wires, xp=jnp):
     """Zero iff u == u_target times diagonal+spectator transforms
     (matrix_utils.py:211-215). See disc_modulo_identity for `xp`."""
-    return tensor_diagonal_loss((u @ u_target).conj().T, num_qubits, wires,
-                                xp=xp)
+    return tensor_diagonal_loss(_matmul(u, u_target, xp).conj().T,
+                                num_qubits, wires, xp=xp)

@@ -42,7 +42,7 @@ def _rot_and_deriv(letter: str, a):
     """R(a) and dR/da = (-i/2) P R(a), both (2,2,B)."""
     r = bt._rot_batched(letter, a)
     p = _PAULI[letter]
-    dr = (-0.5j) * jnp.einsum('pk,kqb->pqb', p, r)
+    dr = (-0.5j) * jnp.einsum('pk,kqb->pqb', p, r, precision=config.PRECISION)
     return r, dr
 
 
@@ -130,7 +130,7 @@ def _gate_cotangent(m_cot, a_prev, placement, n):
     B = m_cot.shape[-1]
     mt = jnp.transpose(m_cot, perm).reshape(dim_g, -1, B)
     at = jnp.transpose(a_prev, perm).reshape(dim_g, -1, B)
-    return jnp.einsum('prb,krb->pkb', mt, at)
+    return jnp.einsum('prb,krb->pkb', mt, at, precision=config.PRECISION)
 
 
 def _apply_transpose(gate, tensor, placement, n):
