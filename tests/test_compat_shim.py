@@ -1,0 +1,54 @@
+"""The `cpflow` compatibility package: reference-style notebook imports
+(paper/peppar.ipynb, tutorial/CPFlow_tutorial.ipynb) must run unchanged
+against the TPU implementation."""
+
+import numpy as np
+
+
+def test_peppar_import_block():
+    # the exact import lines from the reference paper notebook (sans the
+    # qiskit/pandas cells, which are third-party interop)
+    import cpflow
+    from cpflow import (Ansatz, AdaptiveOptions, Decomposition, Results,  # noqa: F401
+                        StaticOptions, Synthesize)
+    from cpflow.exact_decompositions import (rationalize_all_rgates,  # noqa: F401
+                                             reduce_angles,
+                                             remove_zero_rgates)
+    from cpflow.gates import u_toff3, u_toff4, u_toff5  # noqa: F401
+    from cpflow.main import RegularizationOptions  # noqa: F401
+    from cpflow.matrix_utils import (cost_HST, disc_modulo_diagonal,  # noqa: F401
+                                     theoretical_lower_bound)
+    from cpflow.penalty import make_regularization_function  # noqa: F401
+    from cpflow.topology import chain_layer, connected_layer, fill_layers  # noqa: F401
+    from cpflow.trigonometric_utils import bracket_angle, random_angles  # noqa: F401
+    from cpflow.cp_utils import make_regularization_function as mrf  # noqa: F401
+    from cpflow.optimization import mynimize, mynimize_repeated  # noqa: F401
+    from cpflow.circuit_assembly import apply_gate_to_tensor  # noqa: F401
+    from cpflow.exact_decompositions import convert_to_ZXZ  # noqa: F401
+
+    assert cpflow.Synthesize is Synthesize
+    assert u_toff3.shape == (8, 8)
+
+
+def test_reference_style_static_run():
+    from cpflow import Synthesize, StaticOptions
+    from cpflow.gates import u_ccz3
+    from cpflow.topology import chain_layer
+
+    s = Synthesize(chain_layer(3), target_unitary=u_ccz3, label='shim',
+                   mesh=None)
+    opts = StaticOptions(num_cp_gates=12, num_samples=16,
+                         accepted_num_cz_gates=8, num_gd_iterations=800,
+                         num_gd_iterations_at_verification=1500)
+    res = s.static(opts, save_results=False, verbose=False)
+    assert any(d.cz_count <= 8 for d in res.decompositions)
+
+
+def test_gates_count_depth_contract():
+    from cpflow.exact_decompositions import gates_count, gates_depth
+    from cpflow_tpu.circuits.ir import Circuit
+
+    c = Circuit(2)
+    c.cz(0, 1).rz(0.3, 0).cz(0, 1)
+    assert gates_count(c) == 2
+    assert gates_depth(c, ('cz',)) == 2
