@@ -58,8 +58,10 @@ def _run():
     num_qubits = 5
     num_cp_gates = 20
     rotation_gates = 'xyz'
-    batch = int(os.environ.get('CPFLOW_BENCH_BATCH', 1024))
-    iters = int(os.environ.get('CPFLOW_BENCH_ITERS', 1000))
+    # measured best on v5e (RESULTS_r2.md): throughput is flat 1024-2048 and
+    # degrades at 4096+; iters >= 2000 amortizes dispatch fully
+    batch = int(os.environ.get('CPFLOW_BENCH_BATCH', 2048))
+    iters = int(os.environ.get('CPFLOW_BENCH_ITERS', 2000))
     mode = os.environ.get('CPFLOW_BENCH_MODE', 'fused')  # fused | pallas
 
     placements = fill_layers(chain_layer(num_qubits), num_cp_gates)

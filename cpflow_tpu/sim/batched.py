@@ -191,11 +191,18 @@ def _apply_gate_batched_slices(gate, u, placement: Sequence[int], n: int):
 
 
 def build_unitary_batched(num_qubits: int, entangling_gate_name: str,
-                          rotation_gates: str, placements: dict, angles):
+                          rotation_gates: str, placements: dict, angles,
+                          columns=None):
     """angles: (P, B) -> batched unitary (2,)*n + (2^n, B).
 
     Mirrors build_unitary (reference main.py:106-146): surface 1q round,
     lax.scan over complete layers, unrolled free blocks.
+
+    columns: optional list of input basis states. Gate application touches
+    only the row legs, so each column of the unitary evolves independently;
+    restricting to the columns a loss actually reads (state preparation
+    needs only |0...0>) shrinks every tensor by 2^n/len(columns) — result
+    shape (2,)*n + (len(columns), B).
     """
     layer, num_layers = placements['layers']
     free_placements = placements['free']
@@ -212,9 +219,14 @@ def build_unitary_batched(num_qubits: int, entangling_gate_name: str,
         num_layers, layer_depth, nba, B)
     free_angles = block_angles[layer_depth * num_layers:]
 
-    eye = jnp.eye(2 ** n, dtype=config.complex_dtype)
-    u = jnp.broadcast_to(eye.reshape([2] * n + [2 ** n, 1]),
-                         tuple([2] * n) + (2 ** n, B))
+    if columns is None:
+        eye = jnp.eye(2 ** n, dtype=config.complex_dtype)
+    else:
+        eye = jnp.zeros((2 ** n, len(columns)), dtype=config.complex_dtype)
+        eye = eye.at[np.asarray(columns), np.arange(len(columns))].set(1.0)
+    ncols = eye.shape[1]
+    u = jnp.broadcast_to(eye.reshape([2] * n + [ncols, 1]),
+                         tuple([2] * n) + (ncols, B))
 
     for q in range(n):
         u = _apply_gate_batched(surface_gate_batched(surface[q]), u, [q], n)
@@ -241,7 +253,8 @@ def build_unitary_batched(num_qubits: int, entangling_gate_name: str,
 # --------------------------------------------------------------------------
 
 def make_reversible_builder(num_qubits: int, entangling_gate_name: str,
-                            rotation_gates: str, placements: dict):
+                            rotation_gates: str, placements: dict,
+                            columns=None):
     """build_unitary_batched with a custom VJP that exploits unitarity:
     instead of storing every intermediate state for the backward pass (what
     autodiff through the gate chain does — k tensors of B x 4^n complex per
@@ -261,35 +274,36 @@ def make_reversible_builder(num_qubits: int, entangling_gate_name: str,
 
     def forward(angles):
         return build_unitary_batched(num_qubits, entangling_gate_name,
-                                     rotation_gates, placements, angles)
+                                     rotation_gates, placements, angles,
+                                     columns=columns)
 
     def _dagger(g):
         return jnp.conj(jnp.swapaxes(g, 0, 1))
 
-    def _block_step_back(u_after, u_bar, a, p):
-        """One reverse step through a 2q block: reconstruct the pre-gate
-        state, pull the cotangent back, get the block-angle cotangent."""
-        g = block_matrix_batched(entangling_gate_name, rotation_gates, a)
+    def _step_back(u_after, u_bar, gate_of, a, p):
+        """One reverse step through a gate: reconstruct the pre-gate state
+        (u_before = G^dag u_after), pull the cotangent back and get the
+        angle cotangent via one joint vjp. (A stacked variant that rode the
+        rewind and the cotangent pull on one doubled-column application
+        measured 649k vs 731k restart-iter/s on v5e — the concat/slice
+        materialization costs more than the saved kernel.)"""
+        g = gate_of(a)
         u_before = _apply_gate_batched(_dagger(g), u_after, p, n)
 
         def apply_fn(aa, uu):
-            gg = block_matrix_batched(entangling_gate_name, rotation_gates, aa)
-            return _apply_gate_batched(gg, uu, p, n)
+            return _apply_gate_batched(gate_of(aa), uu, p, n)
 
         _, pull = jax.vjp(apply_fn, a, u_before)
         a_bar, u_bar_prev = pull(u_bar)
         return u_before, u_bar_prev, a_bar
 
+    def _block_step_back(u_after, u_bar, a, p):
+        gate_of = lambda aa: block_matrix_batched(entangling_gate_name,
+                                                  rotation_gates, aa)
+        return _step_back(u_after, u_bar, gate_of, a, p)
+
     def _surface_step_back(u_after, u_bar, a3, q):
-        g = surface_gate_batched(a3)
-        u_before = _apply_gate_batched(_dagger(g), u_after, [q], n)
-
-        def apply_fn(aa, uu):
-            return _apply_gate_batched(surface_gate_batched(aa), uu, [q], n)
-
-        _, pull = jax.vjp(apply_fn, a3, u_before)
-        a_bar, u_bar_prev = pull(u_bar)
-        return u_before, u_bar_prev, a_bar
+        return _step_back(u_after, u_bar, surface_gate_batched, a3, [q])
 
     def fwd(angles):
         u = forward(angles)
@@ -406,14 +420,18 @@ def make_batched_loss_and_penalty(num_qubits: int, entangling_gate_name: str,
     """f(angles_PB) -> (loss_B, penalty_B) with the regularization weight
     NOT baked in: the caller combines `loss + r * penalty` with a runtime r,
     so one executable serves every (r, template-mask) trial of the adaptive
-    search (see Synthesize.adaptive bucketed mode)."""
+    search (see Synthesize.adaptive bucketed mode). State-preparation
+    losses build only the |0...0> column (build_unitary_batched columns)."""
+    columns = [0] if getattr(unitary_loss_func, 'kind', None) == 'state' \
+        else None
     if reversible:
         builder = make_reversible_builder(num_qubits, entangling_gate_name,
-                                          rotation_gates, placements)
+                                          rotation_gates, placements,
+                                          columns=columns)
     else:
         builder = lambda angles: build_unitary_batched(
             num_qubits, entangling_gate_name, rotation_gates, placements,
-            angles)
+            angles, columns=columns)
     cp_mask = jnp.asarray(cp_mask, dtype=config.real_dtype)
 
     def f(angles):
@@ -431,14 +449,18 @@ def make_batched_regloss(num_qubits: int, entangling_gate_name: str,
                          r: float = 0.0, reversible: bool = False) -> Callable:
     """Returns f(angles_PB) -> (regloss_B, loss_B): the fused hot-path
     objective (loss + r * sum(penalty(cp angles))). reversible=True swaps in
-    the storage-free custom-VJP builder (see make_reversible_builder)."""
+    the storage-free custom-VJP builder (see make_reversible_builder).
+    State-preparation losses build only the |0...0> column."""
+    columns = [0] if getattr(unitary_loss_func, 'kind', None) == 'state' \
+        else None
     if reversible:
         builder = make_reversible_builder(num_qubits, entangling_gate_name,
-                                          rotation_gates, placements)
+                                          rotation_gates, placements,
+                                          columns=columns)
     else:
         builder = lambda angles: build_unitary_batched(
             num_qubits, entangling_gate_name, rotation_gates, placements,
-            angles)
+            angles, columns=columns)
 
     def f(angles):
         u = builder(angles)

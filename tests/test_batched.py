@@ -247,3 +247,42 @@ def test_six_qubit_capability():
                                  reversible=True)
     g = jax.grad(lambda a: fn(a)[0].sum())(angles)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_state_column_fast_path_matches_full():
+    """State-prep losses build only the |0...0> column; gradients and loss
+    values must match the full-unitary path exactly (columns evolve
+    independently under row-leg gate application)."""
+    import jax
+    from cpflow_tpu.api import LossSpec
+    from cpflow_tpu.sim import batched as bt
+    from cpflow_tpu.topology import chain_layer, fill_layers
+
+    n, k, B = 3, 4, 6
+    placements = fill_layers(chain_layer(n), k)
+    ghz = np.zeros(2 ** n, dtype=np.complex64)
+    ghz[0] = ghz[-1] = 1 / np.sqrt(2)
+    spec = LossSpec('state', target=ghz)
+    num_angles = 3 * n + 7 * k
+
+    # fast path (kind='state' -> single column) vs a full-columns clone
+    fast = bt.make_batched_regloss(n, 'cp', 'xyz', placements, spec,
+                                   reversible=True)
+
+    class FullSpec(LossSpec):
+        kind_override = True
+    full_spec = LossSpec('custom', fn=lambda u: (
+        1 - jnp.abs((jnp.asarray(ghz).conj() * u[:, 0]).sum()) ** 2))
+    full = bt.make_batched_regloss(n, 'cp', 'xyz', placements, full_spec)
+
+    key = jax.random.PRNGKey(5)
+    angles = jax.random.uniform(key, (num_angles, B), minval=0.0,
+                                maxval=2 * np.pi, dtype=jnp.float32)
+
+    lf, _ = jax.jit(fast)(angles)
+    lg, _ = jax.jit(full)(angles)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lg), atol=1e-5)
+
+    gf = jax.jit(jax.grad(lambda a: fast(a)[0].sum()))(angles)
+    gg = jax.jit(jax.grad(lambda a: full(a)[0].sum()))(angles)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gg), atol=2e-4)
