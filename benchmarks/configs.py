@@ -248,6 +248,45 @@ def toffoli4_chain():
     return _toff4('chain', chain_layer(4), 18)
 
 
+def toffoli3_chain():
+    """Paper Table 1 row: toffoli-3 on the chain at the published best
+    hyperparameters (k=14, r=0.88e-3). Published: 8 CZ optimal, ~19/100
+    restarts reach it, and refinement of the best decomposition found a
+    T-depth-3 Clifford+T circuit ('possibly a new result',
+    CPFlow.tex:60,428)."""
+    _setup_jax()
+    from cpflow_tpu import Synthesize, StaticOptions
+    from cpflow_tpu.ops.gates import u_toff3
+    from cpflow_tpu.topology import chain_layer
+
+    t0 = time.time()
+    s = Synthesize(chain_layer(3), target_unitary=u_toff3,
+                   label='toff3_chain')
+    options = StaticOptions(num_cp_gates=14, r=0.88e-3, num_samples=100,
+                            accepted_num_cz_gates=8)
+    results = s.static(options, save_results=False, verbose=False)
+    wall = time.time() - t0
+
+    counts = sorted(d.cz_count for d in results.decompositions)
+    optimal = [d for d in results.decompositions if d.cz_count == 8]
+    refined = {}
+    best_t_depth = None
+    for d in optimal[:12]:  # paper refined 12 per topology
+        try:
+            d.refine()
+        except Exception:  # noqa: BLE001 — refinement rollback is graceful
+            continue
+        if d.type == 'Clifford+T' and d.t_depth is not None:
+            if best_t_depth is None or d.t_depth < best_t_depth:
+                best_t_depth = d.t_depth
+                refined = {'type': d.type, 't_count': d.t_count,
+                           't_depth': d.t_depth, 'loss': float(d.loss)}
+    return {'config': 'toffoli3_chain', 'wall_s': round(wall, 1),
+            'best_cz': counts[0] if counts else None, 'reference_cz': 8,
+            'optimal_rate': f'{len(optimal)}/100 (paper: 19/100)',
+            'refined_best': refined, 'reference_t_depth': 3}
+
+
 def toffoli5_connected():
     """sec toff5: direct synthesis of the 5q Toffoli, best published 36 CZ
     ('several hours' in the reference)."""
@@ -328,6 +367,7 @@ def qx_aj_e11_165():
 
 
 PAPER_TABLE = {
+    'toffoli3_chain': toffoli3_chain,
     'toffoli4_kite': toffoli4_kite,
     'toffoli4_square': toffoli4_square,
     'toffoli4_star': toffoli4_star,

@@ -20,24 +20,25 @@ def success_ratio(layer, num_cz_gates, rotation_gates, u_target,
                   num_samples=500, num_iterations=2000, target_loss=1e-6,
                   seed=0):
     import jax
-    from cpflow_tpu import Ansatz
+    import jax.numpy as jnp
+    from cpflow_tpu import Ansatz, LossSpec
     from cpflow_tpu.topology import fill_layers
     from cpflow_tpu.optimize import candidates as cand
-    from cpflow_tpu.optimize.engine import minimize_multistart
-    from cpflow_tpu.ops.losses import cost_HST
-    import jax.numpy as jnp
+    from cpflow_tpu.optimize.engine import minimize_fused
+    from cpflow_tpu.sim import batched as batched_sim
 
     anz = Ansatz(max(max(p) for p in layer) + 1, 'cz',
                  fill_layers(layer, num_cz_gates), rotation_gates)
-    loss_func = lambda angs: cost_HST(anz.unitary(angs), u_target)
+    regloss_fn = batched_sim.make_batched_regloss(
+        anz.num_qubits, 'cz', rotation_gates, anz.placements,
+        LossSpec('hst', target=np.asarray(u_target)), reversible=True)
 
     key = jax.random.PRNGKey(seed)
     mask = jnp.zeros(anz.num_angles, dtype=jnp.float32)
     inits = cand.generate_initial_angles_batch(key, anz.num_angles, mask,
                                                'uniform', num_samples)
-    raw = minimize_multistart(loss_func, inits, learning_rate=0.1,
-                              num_iterations=num_iterations,
-                              keep_history=False)
+    raw = minimize_fused(regloss_fn, inits, learning_rate=0.1,
+                         num_iterations=num_iterations)
     best = np.asarray(raw.regloss[:, 1])
     return float((best < target_loss).mean()), best
 
