@@ -158,6 +158,27 @@ class Circuit:
     def copy(self) -> 'Circuit':
         return Circuit(self.num_qubits, [i.copy() for i in self.instructions])
 
+    _INVERSE_FIXED = {'h': 'h', 'x': 'x', 'y': 'y', 'z': 'z', 'cx': 'cx',
+                      'cz': 'cz', 'swap': 'swap', 'id': 'id',
+                      's': 'sdg', 'sdg': 's', 't': 'tdg', 'tdg': 't'}
+
+    def inverse(self) -> 'Circuit':
+        """Circuit implementing the inverse unitary: reversed instruction
+        order with each gate inverted (rotations/CP negate their angle,
+        s/t swap with their daggers, matrix gates conjugate-transpose)."""
+        inv = Circuit(self.num_qubits)
+        for inst in reversed(self.instructions):
+            if inst.name in ROTATION_NAMES or inst.name == 'cp':
+                inv.append(inst.name, inst.qubits, -inst.param)
+            elif inst.name in self._INVERSE_FIXED:
+                inv.append(self._INVERSE_FIXED[inst.name], inst.qubits)
+            elif inst.matrix is not None:
+                inv.append(inst.name, inst.qubits,
+                           matrix=np.conj(inst.matrix).T)
+            else:
+                raise ValueError(f'cannot invert gate {inst.name!r}')
+        return inv
+
     # -- analysis ------------------------------------------------------------
 
     def unitary(self, dtype=np.complex128) -> np.ndarray:

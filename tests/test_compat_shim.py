@@ -52,3 +52,48 @@ def test_gates_count_depth_contract():
     c.cz(0, 1).rz(0.3, 0).cz(0, 1)
     assert gates_count(c) == 2
     assert gates_depth(c, ('cz',)) == 2
+
+
+def test_circuit_inverse():
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+
+    c = Circuit(3)
+    c.rz(0.7, 0).cz(0, 1).cp(1.1, 1, 2).h(2).t(0).sdg(1).cx(2, 1)
+    u = c.unitary()
+    v = c.inverse().unitary()
+    np.testing.assert_allclose(u @ v, np.eye(8), atol=1e-10)
+
+
+def test_toffoli5_chain_composite_identity():
+    """The paper's 48-CZ chain toffoli-5 assembly (sec toff5): exact with
+    ideal blocks, tolerant of arbitrary relative phases on qubits 0-3."""
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x, u_toff5)
+
+    # ideal blocks: W = D . toffoli4 with a random diagonal D
+    rng = np.random.default_rng(7)
+    d_phases = np.exp(1j * rng.uniform(0, 2 * np.pi, 16))
+
+    def w_mat():
+        return np.diag(d_phases) @ multi_controlled_x(4)
+
+    w = Circuit(4); w.append('W', (0, 1, 2, 3), matrix=w_mat())
+    c3 = Circuit(4); c3.append('C3SX', (0, 1, 2, 3),
+                               matrix=multi_controlled_sqrt_x(4))
+
+    qc = Circuit(5)
+    qc.h(4); qc.cp(math.pi / 2, 3, 4); qc.h(4)
+    qc.compose(w.inverse(), qubits=[0, 1, 2, 3])
+    qc.h(4); qc.cp(-math.pi / 2, 3, 4); qc.h(4)
+    qc.compose(w, qubits=[0, 1, 2, 3])
+    qc.cx(4, 3); qc.cx(3, 4)
+    qc.compose(c3, qubits=[0, 1, 2, 3])
+    qc.cx(3, 4); qc.cx(4, 3)
+
+    assert hst_distance(qc.unitary(), u_toff5.astype(np.complex128)) < 1e-10
