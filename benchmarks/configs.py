@@ -328,16 +328,18 @@ _QX = '/root/reference/paper/benchmark_circuits'
 
 
 def _qasm_adaptive(fname, published, *, min_k=20, max_k=60, num_samples=1024,
-                   max_evals=60):
-    """tab bench: one ibm_qx circuit on the connected 5q topology."""
+                   max_evals=60, topology='connected'):
+    """tab bench: one ibm_qx circuit on the connected or chain 5q topology."""
     from cpflow_tpu.circuits.ir import Circuit
-    from cpflow_tpu.topology import connected_layer
+    from cpflow_tpu.topology import chain_layer, connected_layer
     import glob
     matches = glob.glob(f'{_QX}/*/{fname}.qasm')
     qc = Circuit.from_qasm_file(matches[0])
     u_target = qc.unitary().astype(np.complex64)
+    layer = connected_layer(5) if topology == 'connected' else chain_layer(5)
+    suffix = '' if topology == 'connected' else f'_{topology}'
     return _adaptive_run(
-        f'qx_{fname}', connected_layer(5), target_unitary=u_target,
+        f'qx_{fname}{suffix}', layer, target_unitary=u_target,
         min_k=min_k, max_k=max_k, num_samples=num_samples,
         max_evals=max_evals, target_cz=published, reference_cz=published)
 
@@ -366,6 +368,36 @@ def qx_aj_e11_165():
                           num_samples=1024, max_evals=60)
 
 
+def qx_one_two_three_v2_100():
+    """tab bench I: published 28 (r1 measured 30 at 1/8 budget)."""
+    return _qasm_adaptive('one-two-three-v2_100', 28, min_k=20, max_k=60,
+                          num_samples=2048, max_evals=100)
+
+
+def qx_4mod5_v1_24_chain():
+    """tab bench II (chain): published 29 (r1: 31)."""
+    return _qasm_adaptive('4mod5-v1_24', 29, min_k=20, max_k=60,
+                          num_samples=2048, max_evals=100, topology='chain')
+
+
+def qx_alu_v3_35_chain():
+    """tab bench II (chain): published 24 (r1: 27)."""
+    return _qasm_adaptive('alu-v3_35', 24, min_k=20, max_k=60,
+                          num_samples=2048, max_evals=100, topology='chain')
+
+
+def qx_4gt5_76_chain():
+    """tab bench II (chain): published 22 (r1: 23)."""
+    return _qasm_adaptive('4gt5_76', 22, min_k=20, max_k=60,
+                          num_samples=2048, max_evals=100, topology='chain')
+
+
+def qx_alu_v0_26_chain():
+    """tab bench II (chain): published 28 (r1: 29)."""
+    return _qasm_adaptive('alu-v0_26', 28, min_k=20, max_k=60,
+                          num_samples=2048, max_evals=100, topology='chain')
+
+
 PAPER_TABLE = {
     'toffoli3_chain': toffoli3_chain,
     'toffoli4_kite': toffoli4_kite,
@@ -380,6 +412,11 @@ PAPER_TABLE = {
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,
     'qx_one_two_three_v1_99': qx_one_two_three_v1_99,
+    'qx_one_two_three_v2_100': qx_one_two_three_v2_100,
+    'qx_4mod5_v1_24_chain': qx_4mod5_v1_24_chain,
+    'qx_alu_v3_35_chain': qx_alu_v3_35_chain,
+    'qx_4gt5_76_chain': qx_4gt5_76_chain,
+    'qx_alu_v0_26_chain': qx_alu_v0_26_chain,
 }
 
 ALL = {
