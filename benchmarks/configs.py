@@ -310,6 +310,33 @@ def c3sqrtx_chain():
         target_cz=18, reference_cz=18)
 
 
+def relphase_toff4_connected():
+    """Maslov's relative-phase toffoli-4 needs 6 CZ on full connectivity —
+    the block of the paper's 30-CZ connected toffoli-5 construction
+    (CPFlow.tex sec toff5)."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import u_toff4
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=u_toff4, num_qubits=4,
+                    wires=[0, 1, 2, 3])
+    return _adaptive_run(
+        'relphase_toff4_connected', connected_layer(4), loss_spec=spec,
+        min_k=4, max_k=20, num_samples=1024, max_evals=60,
+        target_cz=6, reference_cz=6)
+
+
+def c3sqrtx_connected():
+    """C3-sqrt(X) on full 4q connectivity: 14 CZ (same as toffoli-4, being
+    diagonal up to Hadamards — CPFlow.tex sec toff5)."""
+    from cpflow_tpu.ops.gates import multi_controlled_sqrt_x
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'c3sqrtx_connected', connected_layer(4),
+        target_unitary=multi_controlled_sqrt_x(4),
+        min_k=8, max_k=35, num_samples=1024, max_evals=60,
+        target_cz=14, reference_cz=14)
+
+
 def relphase_toff4_chain():
     """app 5q: relative-phase 4q Toffoli on the chain, published 11 CZ —
     synthesis modulo a diagonal transform (the modulo_diagonal loss)."""
@@ -407,6 +434,8 @@ PAPER_TABLE = {
     'toffoli4_connected': toffoli4_connected,
     'relphase_toff4_chain': relphase_toff4_chain,
     'c3sqrtx_chain': c3sqrtx_chain,
+    'relphase_toff4_connected': relphase_toff4_connected,
+    'c3sqrtx_connected': c3sqrtx_connected,
     'qx_aj_e11_165': qx_aj_e11_165,
     'toffoli5_connected': toffoli5_connected,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
