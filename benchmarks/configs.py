@@ -351,6 +351,47 @@ def relphase_toff4_chain():
         target_cz=11, reference_cz=11)
 
 
+def toffoli5_static_assault():
+    """Combining adaptive + static (the tutorial's section 7 pattern) on the
+    hardest direct-synthesis target: take the best (k, r) hyperparameters
+    from the saved toffoli-5 adaptive trials and hammer them with large
+    static batches across several seeds, hunting the published 36 CZ."""
+    _setup_jax()
+    from cpflow_tpu import Results, StaticOptions, Synthesize
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+
+    save_to = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'results', 'toffoli5_connected')
+    prior = Results.load(save_to)
+    hypers = prior.best_hyperparameters()[:3]
+    best_prior = min((d.cz_count for d in prior.decompositions), default=None)
+
+    t0 = time.time()
+    s = Synthesize(connected_layer(5), target_unitary=u_toff5,
+                   label='toff5_assault')
+    found = []
+    num_samples = int(os.environ.get('CPFLOW_NUM_SAMPLES', 4096))
+    seeds = int(os.environ.get('CPFLOW_ASSAULT_SEEDS', 4))
+    for k, r in hypers:
+        for seed in range(seeds):
+            opts = StaticOptions(num_cp_gates=int(k), r=float(r),
+                                 num_samples=num_samples,
+                                 accepted_num_cz_gates=(best_prior or 37) - 1,
+                                 random_seed=1000 + seed)
+            res = s.static(opts, save_results=False, verbose=False)
+            found += [d.cz_count for d in res.decompositions]
+            if found and min(found) <= 36:
+                break
+        if found and min(found) <= 36:
+            break
+    return {'config': 'toffoli5_static_assault',
+            'wall_s': round(time.time() - t0, 1),
+            'best_cz': min(found) if found else None,
+            'prior_best': best_prior, 'reference_cz': 36,
+            'hyperparameters_tried': hypers}
+
+
 _QX = '/root/reference/paper/benchmark_circuits'
 
 
@@ -438,6 +479,7 @@ PAPER_TABLE = {
     'c3sqrtx_connected': c3sqrtx_connected,
     'qx_aj_e11_165': qx_aj_e11_165,
     'toffoli5_connected': toffoli5_connected,
+    'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,
     'qx_one_two_three_v1_99': qx_one_two_three_v1_99,
