@@ -137,7 +137,14 @@ def _run():
     steady_s = meter.seconds
 
     restart_iters_per_sec = meter.rate
+    # conservative denominator: the published-figure-derived reference GPU
+    # rate (BASELINE.md: 1000 samples x 2000 iters in "several minutes" on
+    # an RTX 5000 => ~10k restart-iter/s)
     baseline = 10_000.0
+    # the literal BASELINE.json north-star denominator ("vs reference CPU"):
+    # the reference's own jitted hot path measured on this host's CPU at its
+    # saturating batch size (benchmarks/reference_baseline.py, BASELINE.md)
+    reference_cpu = 1_885.0
 
     result = {
         "metric": f"restart-iterations/sec/chip ({num_qubits}q chain, "
@@ -145,6 +152,7 @@ def _run():
         "value": round(restart_iters_per_sec, 1),
         "unit": "restart-iter/s",
         "vs_baseline": round(restart_iters_per_sec / baseline, 2),
+        "vs_reference_cpu": round(restart_iters_per_sec / reference_cpu, 1),
     }
     print(json.dumps(result))
 

@@ -28,9 +28,19 @@ RESTART_AXIS = 'restarts'
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Initialize multi-host JAX (no-op when single-process args are absent)."""
+    """Initialize multi-host JAX (no-op when single-process args are absent).
+
+    On the CPU backend cross-process collectives need an implementation;
+    gloo ships with jaxlib, so select it so that multi-process runs (and the
+    hermetic multi-process tests) work out of the box. The setting only
+    affects the CPU client — on TPU pods the ICI/DCN path is untouched.
+    """
     if coordinator_address is None:
         return
+    try:
+        jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+    except Exception:  # noqa: BLE001 — older/newer jaxlib without the knob
+        pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -1,0 +1,66 @@
+"""Multi-process restart sharding: 2 jax.distributed processes (4 virtual
+CPU devices each) must produce the SAME fused-sweep results as one process
+with 8 devices. Exercises parallel.mesh.distributed_init for real — the
+reference has no distributed backend at all (SURVEY.md §2/§5), so the
+contract under test is ours: restart sharding is semantics-free across
+process boundaries, with only (B,)-sized summaries gathered.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       '_dist_worker.py')
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # the worker pins its own platform/device count; drop anything conftest
+    # or the ambient tunnel may have set
+    for var in ('XLA_FLAGS', 'JAX_PLATFORMS', 'JAX_PLATFORM_NAME'):
+        env.pop(var, None)
+    return env
+
+
+def _parse_regloss(output: str) -> np.ndarray:
+    for line in output.splitlines():
+        if line.startswith('REGLOSS '):
+            return np.array([float(v) for v in line[8:].split(',')])
+    raise AssertionError(f'no REGLOSS line in worker output:\n{output}')
+
+
+@pytest.mark.timeout(600)
+def test_two_process_matches_single_process():
+    port = _free_port()
+    env = _clean_env()
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        f'worker failed:\n{outs[0]}\n---\n{outs[1]}'
+
+    single = subprocess.run(
+        [sys.executable, _WORKER, str(port), 'single'],
+        capture_output=True, text=True, timeout=540, env=env)
+    assert single.returncode == 0, single.stdout + single.stderr
+
+    expected = _parse_regloss(single.stdout)
+    for out in outs:
+        got = _parse_regloss(out)
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-6)
+    # sanity: the sweep actually optimized ([initial, best] stacking)
+    pairs = expected.reshape(8, 2)
+    assert (pairs[:, 1] <= pairs[:, 0]).all()
