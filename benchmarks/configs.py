@@ -100,6 +100,31 @@ def ghz_state():
             'num_found': len(results.decompositions)}
 
 
+def ghz6_state():
+    """Beyond-paper capability row: 6q GHZ state preparation (the paper
+    stops at 5q; the simulator and state fast path handle 6q fine —
+    state-kind losses build only the |0..0> column, 2^n-fold cheaper).
+    GHZ_n needs n-1 CZ on a chain."""
+    _setup_jax()
+    from cpflow_tpu import Synthesize, StaticOptions
+    from cpflow_tpu.topology import chain_layer
+
+    n = 6
+    ghz = np.zeros(2 ** n, dtype=np.complex64)
+    ghz[0] = ghz[-1] = 1 / np.sqrt(2)
+
+    t0 = time.time()
+    s = Synthesize(chain_layer(n), target_state=ghz, label='ghz6')
+    options = StaticOptions(num_cp_gates=10, num_samples=256,
+                            accepted_num_cz_gates=5, r=0.001)
+    results = s.static(options, save_results=False, verbose=False)
+    wall = time.time() - t0
+    best_cz = min((d.cz_count for d in results.decompositions), default=None)
+    return {'config': 'ghz6_state', 'wall_s': round(wall, 1),
+            'best_cz': best_cz, 'reference_cz': 5,
+            'num_found': len(results.decompositions)}
+
+
 def cccz_adaptive(max_evals=10):
     """Config 4: 5q CCCCZ with the adaptive (TPE) path. Reference: 'several
     hours' for 100 evals x 1000 samples; we run a reduced eval budget by
@@ -494,6 +519,7 @@ ALL = {
     'readme_ccz': readme_ccz,
     'toffoli3_refine': toffoli3_refine,
     'ghz_state': ghz_state,
+    'ghz6_state': ghz6_state,
     'cccz_adaptive': cccz_adaptive,
     'qasm_sweep': qasm_sweep,
     **PAPER_TABLE,
