@@ -40,7 +40,6 @@ def _parse_regloss(output: str) -> np.ndarray:
     raise AssertionError(f'no REGLOSS line in worker output:\n{output}')
 
 
-@pytest.mark.timeout(600)
 def test_two_process_matches_single_process():
     port = _free_port()
     env = _clean_env()
