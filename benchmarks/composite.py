@@ -136,19 +136,19 @@ def _report(builder, name, reference_cz, extra):
 
 
 def main():
-    rows = [_report(build_toffoli5_chain, 'toffoli5_chain_composite', 48,
-                    {'qiskit_reference': 61,
-                     'direct_synthesis_reference': 69})]
-    try:
-        rows.append(_report(build_toffoli5_connected,
-                            'toffoli5_connected_composite', 30,
-                            {'note': 'best known ancilla-free count; the '
-                                     'reference DESCRIBES this construction '
-                                     'but reports 36 from direct synthesis'}))
-    except FileNotFoundError:
-        print(json.dumps({'config': 'toffoli5_connected_composite',
-                          'skipped': 'run relphase_toff4_connected and '
-                                     'c3sqrtx_connected first'}))
+    rows = []
+    for builder, name, target, extra in (
+        (build_toffoli5_chain, 'toffoli5_chain_composite', 48,
+         {'qiskit_reference': 61, 'direct_synthesis_reference': 69}),
+        (build_toffoli5_connected, 'toffoli5_connected_composite', 30,
+         {'note': 'best known ancilla-free count; the reference DESCRIBES '
+                  'this construction but reports 36 from direct synthesis'}),
+    ):
+        try:
+            rows.append(_report(builder, name, target, extra))
+        except FileNotFoundError as e:
+            print(json.dumps({'config': name,
+                              'skipped': f'missing block results: {e}'}))
     return rows
 
 
