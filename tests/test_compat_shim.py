@@ -97,3 +97,33 @@ def test_toffoli5_chain_composite_identity():
     qc.cx(3, 4); qc.cx(4, 3)
 
     assert hst_distance(qc.unitary(), u_toff5.astype(np.complex128)) < 1e-10
+
+
+def test_toffoli5_connected_composite_identity():
+    """The connected 30-CZ toffoli-5 assembly (benchmarks/composite.py
+    build_toffoli5_connected): exact with ideal blocks — full connectivity
+    drops the 4-CX routing, C3-sqrt-X acts directly on (0,1,2,4) — and
+    tolerant of arbitrary relative phases on qubits 0-3."""
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x, u_toff5)
+
+    rng = np.random.default_rng(11)
+    d_phases = np.exp(1j * rng.uniform(0, 2 * np.pi, 16))
+    w = Circuit(4)
+    w.append('W', (0, 1, 2, 3),
+             matrix=np.diag(d_phases) @ multi_controlled_x(4))
+    c3 = Circuit(4)
+    c3.append('C3SX', (0, 1, 2, 3), matrix=multi_controlled_sqrt_x(4))
+
+    qc = Circuit(5)
+    qc.h(4); qc.cp(math.pi / 2, 3, 4); qc.h(4)
+    qc.compose(w.inverse(), qubits=[0, 1, 2, 3])
+    qc.h(4); qc.cp(-math.pi / 2, 3, 4); qc.h(4)
+    qc.compose(w, qubits=[0, 1, 2, 3])
+    qc.compose(c3, qubits=[0, 1, 2, 4])
+
+    assert hst_distance(qc.unitary(), u_toff5.astype(np.complex128)) < 1e-10
