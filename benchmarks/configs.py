@@ -323,6 +323,18 @@ def toffoli5_connected():
         target_cz=36, reference_cz=36)
 
 
+def toffoli5_connected_xz():
+    """sec toff5 hunt variant: XZ rotation template — the paper's Table 3
+    measures up to ~10x higher success ratios for xz vs xyz templates on
+    4q Toffolis (CPFlow.tex:494-518); same 36-CZ target."""
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli5_connected_xz', connected_layer(5), target_unitary=u_toff5,
+        min_k=25, max_k=50, num_samples=1024, max_evals=80,
+        rotation_gates='xz', target_cz=36, reference_cz=36)
+
+
 def c3sqrtx_chain():
     """app 5q: C3-sqrt(X) on the 4q chain, published 18 CZ — one of the two
     blocks of the 48-CZ chain toffoli-5 construction."""
@@ -504,6 +516,7 @@ PAPER_TABLE = {
     'c3sqrtx_connected': c3sqrtx_connected,
     'qx_aj_e11_165': qx_aj_e11_165,
     'toffoli5_connected': toffoli5_connected,
+    'toffoli5_connected_xz': toffoli5_connected_xz,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,

@@ -17,3 +17,7 @@ echo "--- composite start $(date -u +%T) ---" >> $LOG
 timeout 900 python -u -m benchmarks.composite >> $LOG 2>&1
 echo "--- composite done rc=$? $(date -u +%T) ---" >> $LOG
 echo "=== queue3 end $(date -u +%FT%TZ) ===" >> $LOG
+# appended: xz-template toffoli-5 hunt
+echo "--- toffoli5_connected_xz start $(date -u +%T) ---" >> $LOG
+timeout 4000 python -u -m benchmarks.configs toffoli5_connected_xz >> $LOG 2>&1
+echo "--- toffoli5_connected_xz done rc=$? $(date -u +%T) ---" >> $LOG
