@@ -182,3 +182,36 @@ def test_lasso_angles():
     assert float(loss(jnp.array(best))) < 1e-5
     # the redundant pair shrinks under L1 pressure
     assert abs(best[0]) + abs(best[1]) < 0.79
+
+
+def test_tdepth3_toffoli3_chain_golden():
+    """Pinned reproduction of the paper's headline refinement result
+    (CPFlow.tex:60,428 'possibly a new result'): an exact Clifford+T
+    toffoli-3 on the chain with 8 CZ, 7 T and T-depth 3, synthesized and
+    refined end-to-end by this library (see RESULTS_r2.md). The golden is
+    the instruction list of the found circuit."""
+    import json
+    import os
+
+    import numpy as np
+
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import u_toff3
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'golden', 'tdepth3_toffoli3_chain.json')
+    rows = json.load(open(path))
+    qc = Circuit(3)
+    for r in rows:
+        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+
+    assert qc.gates_count(['cz']) == 8
+    assert qc.gates_count(['t', 'tdg']) == 7
+    assert qc.gates_depth(['t', 'tdg']) == 3
+    # chain topology: every cz acts on adjacent qubits
+    for inst in qc.instructions:
+        if inst.name == 'cz':
+            a, b = inst.qubits
+            assert abs(a - b) == 1
+    assert hst_distance(qc.unitary(), u_toff3.astype(np.complex128)) < 1e-12
