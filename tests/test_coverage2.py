@@ -76,10 +76,10 @@ def test_mynimize_repeated_default_random_inits():
 
 
 def test_success_ratio_harness():
+    # paper protocol (peppar cells 53-54): fixed 'cz' architecture given as
+    # ordered placements, criterion 1e-4
     from benchmarks.success_ratio import success_ratio
-    from cpflow_tpu.topology import chain_layer
-    ratio, best = success_ratio(chain_layer(2), 1, 'xz',
-                                jnp.array(gates.cz_mat),
+    ratio, best = success_ratio([(0, 1)], 'xz', jnp.array(gates.cz_mat),
                                 num_samples=16, num_iterations=500)
     assert 0.0 <= ratio <= 1.0
     assert best.shape == (16,)
