@@ -335,6 +335,19 @@ def toffoli5_connected_xz():
         rotation_gates='xz', target_cz=36, reference_cz=36)
 
 
+def toffoli5_connected_record():
+    """Stretch hunt BEYOND the paper: the 30-CZ composite (benchmarks/
+    composite.py) proves sub-36 connected toffoli-5 circuits exist; try to
+    find one by direct synthesis. Any verified count <= 35 beats the
+    published direct-synthesis record."""
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli5_connected_record', connected_layer(5),
+        target_unitary=u_toff5, min_k=28, max_k=42, num_samples=2048,
+        max_evals=120, rotation_gates='xz', target_cz=35, reference_cz=36)
+
+
 def c3sqrtx_chain():
     """app 5q: C3-sqrt(X) on the 4q chain, published 18 CZ — one of the two
     blocks of the 48-CZ chain toffoli-5 construction."""
@@ -517,6 +530,7 @@ PAPER_TABLE = {
     'qx_aj_e11_165': qx_aj_e11_165,
     'toffoli5_connected': toffoli5_connected,
     'toffoli5_connected_xz': toffoli5_connected_xz,
+    'toffoli5_connected_record': toffoli5_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,
