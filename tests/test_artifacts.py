@@ -1,0 +1,57 @@
+"""Every committed benchmark artifact (benchmarks/artifacts/<label>.json,
+the paper-table circuits RESULTS_r2.md claims) must rebuild and re-verify
+against its stored target unitary below the paper's 1e-6 criterion, with
+the claimed CZ count. This makes the headline rows reproducible from the
+repo alone, with no saved optimizer state."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    'benchmarks', 'artifacts')
+
+_LABELS = sorted(os.path.basename(p)[:-5]
+                 for p in glob.glob(os.path.join(_ART, '*.json')))
+
+
+def _loss(meta, u, target):
+    from cpflow_tpu.ops import losses
+
+    kind = meta['loss_kind']
+    if kind == 'hst':
+        d = target.shape[0]
+        return float(1 - abs((u * target.conj()).sum()) ** 2 / d ** 2)
+    if kind == 'disc':
+        d = target.shape[0]
+        return float(1 - abs((u.conj() * target).sum()) / d)
+    if kind == 'modulo_diagonal':
+        return float(losses.disc_modulo_diagonal(
+            target, u, meta['num_qubits'], meta['wires'], xp=np))
+    if kind == 'modulo_identity':
+        return float(losses.disc_modulo_identity(
+            target, u, meta['num_qubits'], meta['wires'], xp=np))
+    raise ValueError(kind)
+
+
+@pytest.mark.parametrize('label', _LABELS)
+def test_artifact_verifies(label):
+    from cpflow_tpu.circuits.ir import Circuit
+
+    meta = json.load(open(os.path.join(_ART, f'{label}.json')))
+    targets = np.load(os.path.join(_ART, 'targets.npz'))
+    target = targets[label].astype(np.complex128)
+
+    qc = Circuit(meta['num_qubits'])
+    for r in meta['instructions']:
+        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+
+    assert qc.gates_count(['cz']) == meta['cz_count'], \
+        f'{label}: claimed {meta["cz_count"]} CZ'
+    loss = _loss(meta, qc.unitary(), target)
+    # targets are stored complex64; allow f32-storage roundoff on top of
+    # the paper's 1e-6 criterion
+    assert loss < 1.5e-6, f'{label}: recomputed loss {loss:.3e}'
