@@ -77,6 +77,27 @@ def build_toffoli5_connected():
     return qc, {'w_cz': w_cz, 'c3sx_cz': c3sx_cz}
 
 
+def build_toffoli6_connected():
+    """Connected toffoli-6 — BEYOND the reference paper (which stops at
+    toffoli-5): the same recursion one level up,
+    C5X(01234->5) = CsqrtX(4,5) . W5^dag . CsqrtX^dag(4,5) . W5
+                    . C4sqrtX(0123->5)
+    (any relative-phase toffoli-5 W5 works; identity verified exactly in
+    tests/test_compat_shim.py). Full connectivity needs no routing."""
+    from cpflow_tpu.circuits.ir import Circuit
+
+    w, w_cz = _best_circuit('relphase_toff5_connected')
+    c4sx, c4sx_cz = _best_circuit('c4sqrtx_connected')
+
+    qc = Circuit(6)
+    qc.h(5); qc.cp(math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(-math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w, qubits=[0, 1, 2, 3, 4])
+    qc.compose(c4sx, qubits=[0, 1, 2, 3, 5])
+    return qc, {'w5_cz': w_cz, 'c4sx_cz': c4sx_cz}
+
+
 def cz_count_exact(qc):
     """CZ count after compiling residual CP and CX gates exactly to
     CZ + 1q (cp -> 2 CZ via the exact realization pass; cx -> H CZ H)."""
@@ -94,14 +115,14 @@ def cz_count_exact(qc):
     return flat.gates_count(['cz']), flat
 
 
-def _report(builder, name, reference_cz, extra):
+def _report(builder, name, reference_cz, extra, target=None):
     from cpflow_tpu.circuits.passes import hst_distance
     from cpflow_tpu.circuits.refine import polish_angles
     from cpflow_tpu.circuits.ir import ROTATION_NAMES
     from cpflow_tpu.ops.gates import u_toff5
 
     qc, meta = builder()
-    tgt = u_toff5.astype(np.complex128)
+    tgt = (u_toff5 if target is None else target).astype(np.complex128)
     loss = hst_distance(qc.unitary(), tgt)
 
     # the blocks were verified independently to ~1e-6/1e-7 each; polishing
@@ -137,15 +158,20 @@ def _report(builder, name, reference_cz, extra):
 
 def main():
     rows = []
-    for builder, name, target, extra in (
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    for builder, name, target, extra, tgt_u in (
         (build_toffoli5_chain, 'toffoli5_chain_composite', 48,
-         {'qiskit_reference': 61, 'direct_synthesis_reference': 69}),
+         {'qiskit_reference': 61, 'direct_synthesis_reference': 69}, None),
         (build_toffoli5_connected, 'toffoli5_connected_composite', 30,
          {'note': 'best known ancilla-free count; the reference DESCRIBES '
-                  'this construction but reports 36 from direct synthesis'}),
+                  'this construction but reports 36 from direct synthesis'},
+         None),
+        (build_toffoli6_connected, 'toffoli6_connected_composite', None,
+         {'note': 'beyond the reference paper (which stops at toffoli-5)'},
+         multi_controlled_x(6)),
     ):
         try:
-            rows.append(_report(builder, name, target, extra))
+            rows.append(_report(builder, name, target, extra, target=tgt_u))
         except FileNotFoundError as e:
             print(json.dumps({'config': name,
                               'skipped': f'missing block results: {e}'}))

@@ -348,6 +348,47 @@ def toffoli5_connected_record():
         max_evals=120, rotation_gates='xz', target_cz=35, reference_cz=36)
 
 
+def relphase_toff5_connected():
+    """Beyond-paper 6q program, block 1: relative-phase toffoli-5 on full
+    5q connectivity (modulo-diagonal loss). Together with C4-sqrt-X it
+    assembles a connected toffoli-6 (benchmarks/composite.py; the identity
+    is verified exactly in tests). No published count exists; the 4q
+    analog (relphase toffoli-4 connected) costs 6 CZ."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=u_toff5, num_qubits=5,
+                    wires=[0, 1, 2, 3, 4])
+    return _adaptive_run(
+        'relphase_toff5_connected', connected_layer(5), loss_spec=spec,
+        min_k=6, max_k=28, num_samples=1024, max_evals=80,
+        target_cz=8, reference_cz=None)
+
+
+def c4sqrtx_connected():
+    """Beyond-paper 6q program, block 2: C4-sqrt(X) on full 5q
+    connectivity. By the paper's C3-sqrt-X == toffoli-4-count analogy
+    (CPFlow.tex sec toff5), expect ~the toffoli-5 count (36)."""
+    from cpflow_tpu.ops.gates import multi_controlled_sqrt_x
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'c4sqrtx_connected', connected_layer(5),
+        target_unitary=multi_controlled_sqrt_x(5),
+        min_k=22, max_k=45, num_samples=1024, max_evals=80,
+        rotation_gates='xz', target_cz=36, reference_cz=None)
+
+
+def toffoli4_connected_record():
+    """Stretch hunt: a sub-14 connected toffoli-4 (any verified count <=13
+    would beat the published best-known 14)."""
+    from cpflow_tpu.ops.gates import u_toff4
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli4_connected_record', connected_layer(4),
+        target_unitary=u_toff4, min_k=10, max_k=30, num_samples=2048,
+        max_evals=100, rotation_gates='xz', target_cz=13, reference_cz=14)
+
+
 def c3sqrtx_chain():
     """app 5q: C3-sqrt(X) on the 4q chain, published 18 CZ — one of the two
     blocks of the 48-CZ chain toffoli-5 construction."""
@@ -531,6 +572,9 @@ PAPER_TABLE = {
     'toffoli5_connected': toffoli5_connected,
     'toffoli5_connected_xz': toffoli5_connected_xz,
     'toffoli5_connected_record': toffoli5_connected_record,
+    'relphase_toff5_connected': relphase_toff5_connected,
+    'c4sqrtx_connected': c4sqrtx_connected,
+    'toffoli4_connected_record': toffoli4_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,

@@ -127,3 +127,32 @@ def test_toffoli5_connected_composite_identity():
     qc.compose(c3, qubits=[0, 1, 2, 4])
 
     assert hst_distance(qc.unitary(), u_toff5.astype(np.complex128)) < 1e-10
+
+
+def test_toffoli6_connected_composite_identity():
+    """The toffoli-6 recursion (benchmarks/composite.py
+    build_toffoli6_connected) — beyond the reference paper: exact with
+    ideal blocks, tolerant of arbitrary relative phases on qubits 0-4."""
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import multi_controlled_sqrt_x, multi_controlled_x
+
+    rng = np.random.default_rng(3)
+    d_phases = np.exp(1j * rng.uniform(0, 2 * np.pi, 32))
+    w = Circuit(5)
+    w.append('W', (0, 1, 2, 3, 4),
+             matrix=np.diag(d_phases) @ multi_controlled_x(5))
+    c4 = Circuit(5)
+    c4.append('C4SX', (0, 1, 2, 3, 4), matrix=multi_controlled_sqrt_x(5))
+
+    qc = Circuit(6)
+    qc.h(5); qc.cp(math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(-math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w, qubits=[0, 1, 2, 3, 4])
+    qc.compose(c4, qubits=[0, 1, 2, 3, 5])
+
+    tgt = multi_controlled_x(6).astype(np.complex128)
+    assert hst_distance(qc.unitary(), tgt) < 1e-10
