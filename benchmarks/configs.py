@@ -503,6 +503,37 @@ def _qasm_adaptive(fname, published, *, min_k=20, max_k=60, num_samples=1024,
         max_evals=max_evals, target_cz=published, reference_cz=published)
 
 
+def qx_4gt13_92():
+    """tab bench I: published 17 (r1 reproduced exactly)."""
+    return _qasm_adaptive('4gt13_92', 17, min_k=10, max_k=45)
+
+
+def qx_alu_v3_34():
+    """tab bench I: published 14 (r1 reproduced exactly)."""
+    return _qasm_adaptive('alu-v3_34', 14, min_k=10, max_k=40)
+
+
+def qx_4gt5_76():
+    """tab bench I: published 21 (r1 reproduced exactly)."""
+    return _qasm_adaptive('4gt5_76', 21, min_k=12, max_k=45)
+
+
+def qx_alu_v2_32():
+    """tab bench III: published 30 (r1 reproduced exactly)."""
+    return _qasm_adaptive('alu-v2_32', 30, min_k=20, max_k=55)
+
+
+def qx_alu_v4_36():
+    """tab bench I: published 30; r1 found 29 (beats published)."""
+    return _qasm_adaptive('alu-v4_36', 29, min_k=18, max_k=50)
+
+
+def qx_4gt13_91_chain():
+    """tab bench II (chain): published 25; r1 found 24 (beats published)."""
+    return _qasm_adaptive('4gt13_91', 24, min_k=15, max_k=50,
+                          topology='chain')
+
+
 def qx_4gt10_v1_81():
     """tab bench III: published 37* (k in 40..60, 2000 samples)."""
     return _qasm_adaptive('4gt10-v1_81', 37, min_k=35, max_k=60,
@@ -576,6 +607,12 @@ PAPER_TABLE = {
     'c4sqrtx_connected': c4sqrtx_connected,
     'toffoli4_connected_record': toffoli4_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
+    'qx_4gt13_92': qx_4gt13_92,
+    'qx_alu_v3_34': qx_alu_v3_34,
+    'qx_4gt5_76': qx_4gt5_76,
+    'qx_alu_v2_32': qx_alu_v2_32,
+    'qx_alu_v4_36': qx_alu_v4_36,
+    'qx_4gt13_91_chain': qx_4gt13_91_chain,
     'qx_4gt10_v1_81': qx_4gt10_v1_81,
     'qx_one_two_three_v0_98': qx_one_two_three_v0_98,
     'qx_one_two_three_v1_99': qx_one_two_three_v1_99,
