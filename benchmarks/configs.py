@@ -554,7 +554,7 @@ def qx_one_two_three_v0_98():
 
 def qx_aj_e11_165():
     """tab bench III: published 24 (standard options)."""
-    return _qasm_adaptive('aj-e11_165', 24, min_k=15, max_k=50,
+    return _qasm_adaptive('aj-e11_165', 23, min_k=15, max_k=50,
                           num_samples=1024, max_evals=60)
 
 
