@@ -486,9 +486,15 @@ def toffoli5_static_assault():
 _QX = '/root/reference/paper/benchmark_circuits'
 
 
-def _qasm_adaptive(fname, published, *, min_k=20, max_k=60, num_samples=1024,
-                   max_evals=60, topology='connected'):
-    """tab bench: one ibm_qx circuit on the connected or chain 5q topology."""
+def _qasm_adaptive(fname, published, *, target_cz=None, min_k=20, max_k=60,
+                   num_samples=1024, max_evals=60, topology='connected'):
+    """tab bench: one ibm_qx circuit on the connected or chain 5q topology.
+
+    `published` is the paper's Table 4 count and is what the emitted row
+    reports as reference_cz; `target_cz` (default: the published count) is
+    the early-stop goal — pass a lower value to hunt a beat without
+    misreporting the paper baseline.
+    """
     from cpflow_tpu.circuits.ir import Circuit
     from cpflow_tpu.topology import chain_layer, connected_layer
     import glob
@@ -500,7 +506,9 @@ def _qasm_adaptive(fname, published, *, min_k=20, max_k=60, num_samples=1024,
     return _adaptive_run(
         f'qx_{fname}{suffix}', layer, target_unitary=u_target,
         min_k=min_k, max_k=max_k, num_samples=num_samples,
-        max_evals=max_evals, target_cz=published, reference_cz=published)
+        max_evals=max_evals,
+        target_cz=published if target_cz is None else target_cz,
+        reference_cz=published)
 
 
 def qx_4gt13_92():
@@ -525,12 +533,12 @@ def qx_alu_v2_32():
 
 def qx_alu_v4_36():
     """tab bench I: published 30; r1 found 29 (beats published)."""
-    return _qasm_adaptive('alu-v4_36', 29, min_k=18, max_k=50)
+    return _qasm_adaptive('alu-v4_36', 30, target_cz=29, min_k=18, max_k=50)
 
 
 def qx_4gt13_91_chain():
     """tab bench II (chain): published 25; r1 found 24 (beats published)."""
-    return _qasm_adaptive('4gt13_91', 24, min_k=15, max_k=50,
+    return _qasm_adaptive('4gt13_91', 25, target_cz=24, min_k=15, max_k=50,
                           topology='chain')
 
 
@@ -554,7 +562,7 @@ def qx_one_two_three_v0_98():
 
 def qx_aj_e11_165():
     """tab bench III: published 24 (standard options)."""
-    return _qasm_adaptive('aj-e11_165', 23, min_k=15, max_k=50,
+    return _qasm_adaptive('aj-e11_165', 24, target_cz=23, min_k=15, max_k=50,
                           num_samples=1024, max_evals=60)
 
 

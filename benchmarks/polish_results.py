@@ -24,7 +24,16 @@ def _adam_polish(qc, loss_spec, adam_iters=4000, lr=3e-4):
     """f64 Adam over the circuit's rotation angles via the jax tracer;
     returns (angles, final_loss). Requires a target-matrix loss spec."""
     import jax
+    prev_x64 = jax.config.read('jax_enable_x64')
     jax.config.update('jax_enable_x64', True)
+    try:
+        return _adam_polish_x64(qc, loss_spec, adam_iters, lr)
+    finally:
+        jax.config.update('jax_enable_x64', prev_x64)
+
+
+def _adam_polish_x64(qc, loss_spec, adam_iters, lr):
+    import jax
     import jax.numpy as jnp
     import optax
     from cpflow_tpu.sim.circuit_exec import circuit_to_jax_unitary

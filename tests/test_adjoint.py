@@ -47,6 +47,7 @@ def test_surface_matrix_and_grads_vs_jacfwd():
     (3, 4, 'xyz', chain_layer, gates.u_ccz3),
     (3, 5, 'xz', connected_layer, gates.u_toff3),
 ])
+@pytest.mark.slow
 def test_manual_grad_matches_autodiff(n, k, rot, layer_fn, target):
     placements = fill_layers(layer_fn(n), k)
     nba = num_block_angles('cp', rot)

@@ -41,6 +41,7 @@ def test_synthesize_requires_loss():
         Synthesize(CZ_LAYER, target_unitary=np.eye(8))  # wrong size
 
 
+@pytest.mark.slow
 def test_static_cz_end_to_end(tmp_path):
     s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_test')
     options = make_static_options()
@@ -58,6 +59,7 @@ def test_static_cz_end_to_end(tmp_path):
     assert float(loaded.loss_function.numpy(d.unitary)) < 1e-5
 
 
+@pytest.mark.slow
 def test_static_accepts_explicit_mesh():
     from cpflow_tpu.parallel import mesh as mesh_lib
     mesh = mesh_lib.restart_mesh()
@@ -68,6 +70,7 @@ def test_static_accepts_explicit_mesh():
     assert len(results.decompositions) > 0
 
 
+@pytest.mark.slow
 def test_target_state_bell():
     """State preparation objective (advertised-but-missing in the reference)."""
     bell = np.zeros(4, dtype=np.complex64)
@@ -83,6 +86,7 @@ def test_target_state_bell():
     assert fidelity > 1 - 1e-5
 
 
+@pytest.mark.slow
 def test_decomposition_refine():
     s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_ref',
                    mesh=None)
@@ -115,6 +119,7 @@ def test_ansatz_parametrized_circuit_draw():
     assert 'a_0' in s
 
 
+@pytest.mark.slow
 def test_ansatz_learn():
     from cpflow_tpu.topology import fill_layers
     anz = Ansatz(2, 'cp', fill_layers(CZ_LAYER, 2), rotation_gates='xz')
@@ -124,6 +129,7 @@ def test_ansatz_learn():
     assert best < 1e-5
 
 
+@pytest.mark.slow
 def test_adaptive_mini_run(tmp_path):
     opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
                            max_evals=3, num_samples=8,
@@ -157,6 +163,7 @@ def test_losspec_kinds():
     assert spec_d.numpy(u) == pytest.approx(0.0, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_generate_raw_keep_history_and_plot(tmp_path):
     import matplotlib
     matplotlib.use('Agg')
@@ -181,6 +188,7 @@ def test_throughput_counter():
     assert 'raw' in th.report()
 
 
+@pytest.mark.slow
 def test_plot_trials_smoke(tmp_path):
     import matplotlib
     matplotlib.use('Agg')

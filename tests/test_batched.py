@@ -81,6 +81,7 @@ def test_batched_unitary_loss_custom_fallback():
     np.testing.assert_allclose(got, fast, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_minimize_fused_matches_vmapped_engine():
     """Fused batch-last Adam must track the vmapped engine: same initial
     entries exactly, same converged losses."""
@@ -146,6 +147,7 @@ def test_minimize_fused_grad_mask():
     np.testing.assert_allclose(best[:, 1:], 2.0, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_minimize_fused_sharded_matches_unsharded():
     """Sharding the restart batch over the 8-device CPU mesh must not change
     results (restarts are independent; no cross-restart reductions)."""
@@ -173,6 +175,7 @@ def test_minimize_fused_sharded_matches_unsharded():
                                np.asarray(sharded.params), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_reversible_builder_gradients_match_autodiff():
     """Storage-free custom VJP must agree with autodiff gradients."""
     for n, k, rot, layer_fn in [(2, 2, 'xz', chain_layer),
@@ -198,6 +201,7 @@ def test_reversible_builder_gradients_match_autodiff():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_reversible_fused_minimization_converges():
     n, k, rot = 2, 2, 'xz'
     placements = fill_layers(chain_layer(n), k)
@@ -227,6 +231,7 @@ def test_apply_gate_slices_variant_matches():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_six_qubit_capability():
     """6q works end-to-end (the reference's experiments cap at 5q;
     SURVEY §5 notes the dense-unitary representation supports ~6-7q)."""
@@ -249,6 +254,7 @@ def test_six_qubit_capability():
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_state_column_fast_path_matches_full():
     """State-prep losses build only the |0...0> column; gradients and loss
     values must match the full-unitary path exactly (columns evolve

@@ -3,6 +3,7 @@
 against the TPU implementation."""
 
 import numpy as np
+import pytest
 
 
 def test_peppar_import_block():
@@ -30,6 +31,7 @@ def test_peppar_import_block():
     assert u_toff3.shape == (8, 8)
 
 
+@pytest.mark.slow
 def test_reference_style_static_run():
     from cpflow import Synthesize, StaticOptions
     from cpflow.gates import u_ccz3

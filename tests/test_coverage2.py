@@ -15,6 +15,7 @@ from cpflow_tpu.optimize import mynimize_repeated
 CZ_LAYER = [[0, 1]]
 
 
+@pytest.mark.slow
 def test_adaptive_stop_if_target_reached(tmp_path):
     opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
                            max_evals=10, num_samples=8,
@@ -31,6 +32,7 @@ def test_adaptive_stop_if_target_reached(tmp_path):
     assert len(results.decompositions) >= 1
 
 
+@pytest.mark.slow
 def test_adaptive_keep_logs(tmp_path):
     opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
                            max_evals=2, num_samples=4,
@@ -46,6 +48,7 @@ def test_adaptive_keep_logs(tmp_path):
                for rec in results.trials.results)
 
 
+@pytest.mark.slow
 def test_modulo_diagonal_loss_through_synthesize():
     """Relative-phase compilation: CZ equals CP(pi); compiling CZ modulo a
     diagonal transformation is satisfiable with ZERO entangling gates
@@ -75,6 +78,7 @@ def test_mynimize_repeated_default_random_inits():
     assert isinstance(single, dict)
 
 
+@pytest.mark.slow
 def test_success_ratio_harness():
     # paper protocol (peppar cells 53-54): fixed 'cz' architecture given as
     # ordered placements, criterion 1e-4
@@ -87,6 +91,7 @@ def test_success_ratio_harness():
     assert ratio > 0.3
 
 
+@pytest.mark.slow
 def test_results_default_save_path(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, mesh=None,
@@ -99,6 +104,7 @@ def test_results_default_save_path(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / 'results' / 'default_path')
 
 
+@pytest.mark.slow
 def test_cli_synthesize_and_info(capsys):
     import json
     from cpflow_tpu.__main__ import main
@@ -124,6 +130,7 @@ def test_mesh_helpers():
     assert mesh_lib.padded_batch_size(96, m) == 96
 
 
+@pytest.mark.slow
 def test_bucketed_adaptive_matches_semantics(tmp_path):
     """Bucketed mode (one executable for all template lengths) finds the
     same class of decompositions as the unbucketed search."""
@@ -174,6 +181,7 @@ def test_bucketed_frozen_tail_is_identity():
     np.testing.assert_allclose(loss_max, loss_k, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bucketed_results_pickle(tmp_path):
     """The compiled-stage cache must not leak into Results persistence."""
     opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,

@@ -35,6 +35,7 @@ def test_initial_angles_golden():
     np.testing.assert_allclose(arr, expected, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ccz_static_golden_seed0():
     """Mini CCZ run with fixed seed: the discrete outcome (a verified
     low-CZ decomposition exists) must be reproducible."""

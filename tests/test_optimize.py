@@ -167,6 +167,7 @@ def test_generate_initial_angles_matches_sequential():
     np.testing.assert_allclose(np.asarray(batch), seq, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_evaluate_and_filter_and_verify_end_to_end():
     """Mini static pipeline: learn CZ with a 2-block CP template, evaluate,
     filter, verify — all batched."""
@@ -224,6 +225,7 @@ def test_batch_axis_trailing_matches_leading():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_reference_shaped_single_candidate_wrappers():
     """convert_cp_to_cz / evaluate_cp_result / filter_cp_results /
     verify_cp_result with the reference's contracts (cp_utils.py:111-247)."""

@@ -14,6 +14,7 @@ from cpflow_tpu.sim.ansatz_kernel import num_block_angles, cp_angle_indices
 from cpflow_tpu.topology import chain_layer, fill_layers
 
 
+@pytest.mark.slow
 def test_pallas_sweep_matches_fused_interpret():
     n, k, rot = 2, 2, 'xz'
     placements = fill_layers(chain_layer(n), k)

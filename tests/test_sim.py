@@ -161,6 +161,7 @@ def test_build_unitary_with_free_blocks():
     np.testing.assert_allclose(u @ u.conj().T, np.eye(8), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_build_unitary_grad_finite_difference():
     n, k = 2, 2
     placements = fill_layers(chain_layer(n), k)
