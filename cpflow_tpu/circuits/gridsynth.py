@@ -25,8 +25,9 @@ word length explodes past eps ~ 1e-2.
 
 from __future__ import annotations
 
-import cmath
+import functools
 import math
+from fractions import Fraction
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -36,6 +37,174 @@ from cpflow_tpu.circuits.rings import (DELTA, LAMBDA, OMEGA, ZOmega, ZRt2,
 
 _SQRT2 = math.sqrt(2.0)
 
+# --------------------------------------------------------------------------
+# Fixed-point scalars for the exact acceptance test
+#
+# The accept criterion is dist^2 = 1 - Re(conj(z) u)/R <= eps^2 with
+# 1 - re ~ eps^2: below eps ~ 1e-8 that subtraction is pure float64 noise
+# (the round-2 "eps floor"). Candidates u are exact ring elements and theta
+# is an exact double, so the criterion is decidable exactly: evaluate it in
+# 256-bit fixed point with cos/sin from an exact-Fraction Taylor series.
+# Float64 stays only in the *enumeration* (where all slop is widened, and
+# false inclusions are rejected here or by the exact bullet-embedding check
+# in solve_norm_equation).
+# --------------------------------------------------------------------------
+
+_PREC = 256
+_ONE = 1 << _PREC
+_SQRT2_FP = math.isqrt(2 << (2 * _PREC))
+_INV_SQRT2_FP = math.isqrt((1 << (2 * _PREC)) // 2)
+
+
+@functools.lru_cache(maxsize=256)
+def _cos_sin_fp(theta_half: float) -> Tuple[int, int]:
+    """(cos, sin) of the exact double theta_half as PREC-bit fixed point
+    (absolute error < 2^-(PREC-2)); exact-Fraction Taylor, |x| <= pi."""
+    x = Fraction(theta_half)
+    x2 = x * x
+    tol = Fraction(1, 1 << (_PREC + 16))
+    c, term, n = Fraction(1), Fraction(1), 0
+    while True:
+        n += 2
+        term = -term * x2 / (n * (n - 1))
+        c += term
+        if abs(term) < tol:
+            break
+    s, term, n = x, x, 1
+    while True:
+        n += 2
+        term = -term * x2 / (n * (n - 1))
+        s += term
+        if abs(term) < tol:
+            break
+    return int(c * _ONE), int(s * _ONE)
+
+
+def _re_im_fp(u: ZOmega) -> Tuple[int, int]:
+    """(Re u, Im u) in PREC-bit fixed point (u = a + b w + c w^2 + d w^3:
+    Re = a + (b - d)/sqrt2, Im = c + (b + d)/sqrt2)."""
+    a, b, c, d = u.a
+    return (a * _ONE + (b - d) * _INV_SQRT2_FP,
+            c * _ONE + (b + d) * _INV_SQRT2_FP)
+
+
+def _dist2_fp(u: ZOmega, k: int, cos_fp: int, sin_fp: int) -> int:
+    """dist^2 * 2^PREC for the Rz approximation u/sqrt2^k, where
+    dist^2 = 1 - Re(conj(z) u)/R, z = exp(-i theta/2), R = sqrt2^k."""
+    reu, imu = _re_im_fp(u)
+    re_fp = (cos_fp * reu - sin_fp * imu) >> _PREC
+    r_fp = (_ONE << (k // 2)) if k % 2 == 0 else (_SQRT2_FP << (k // 2))
+    return _ONE - (re_fp << _PREC) // r_fp
+
+
+# --------------------------------------------------------------------------
+# Double-double (two-float) vectorized arithmetic for the enumeration
+#
+# The sliver band has radial depth eps^2 R / 2; float64 endpoint noise is
+# ~1e-16 R. Below eps ~ 1e-8 the noise band dwarfs the true band, so a
+# float64 enumeration either loses every true candidate (tight pads) or
+# drowns in noise-band junk (safe pads). Two-float arithmetic gives ~1e-32
+# relative endpoints — resolving the true band down to eps ~ 1e-13 — while
+# staying fully vectorized numpy. Dekker/Knuth error-free transforms,
+# no FMA assumed.
+# --------------------------------------------------------------------------
+
+_SPLIT = 134217729.0  # 2^27 + 1
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_two_sum(a, b):  # requires |a| >= |b| elementwise
+    s = a + b
+    return s, b - (s - a)
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = _SPLIT * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = _SPLIT * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    return p, ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+
+
+def _dd_add(x, y):
+    s, e = _two_sum(x[0], y[0])
+    e = e + x[1] + y[1]
+    return _quick_two_sum(s, e)
+
+
+def _dd_sub(x, y):
+    return _dd_add(x, (-y[0], -y[1]))
+
+
+def _dd_mul(x, y):
+    p, e = _two_prod(x[0], y[0])
+    e = e + x[0] * y[1] + x[1] * y[0]
+    return _quick_two_sum(p, e)
+
+
+def _dd_mul_f(x, f):
+    """dd times plain float64."""
+    p, e = _two_prod(x[0], f)
+    e = e + x[1] * f
+    return _quick_two_sum(p, e)
+
+
+def _dd_div(x, y):
+    q1 = x[0] / y[0]
+    r = _dd_sub(x, _dd_mul_f(y, q1))
+    q2 = r[0] / y[0]
+    return _quick_two_sum(q1, q2)
+
+
+def _dd_sqrt(x):
+    """sqrt of a nonnegative dd (one Newton step from float64 sqrt)."""
+    y = np.sqrt(np.maximum(x[0], 0.0))
+    p, e = _two_prod(y, y)
+    r = _dd_add(_dd_sub(x, (p, e)), (0.0, 0.0))
+    denom = np.where(y > 0, 2.0 * y, 1.0)
+    return _quick_two_sum(y, r[0] / denom)
+
+
+def _dd_max(x, y):
+    c = (x[0] > y[0]) | ((x[0] == y[0]) & (x[1] >= y[1]))
+    return np.where(c, x[0], y[0]), np.where(c, x[1], y[1])
+
+
+def _dd_min(x, y):
+    c = (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
+    return np.where(c, x[0], y[0]), np.where(c, x[1], y[1])
+
+
+def _dd_from_fraction(f: Fraction):
+    hi = float(f)
+    lo = float(f - Fraction(hi))
+    return hi, lo
+
+
+def _dd_floor_i64(x):
+    """Elementwise floor of a dd as exact int64 (|value| < 2^62)."""
+    base = np.floor(x[0])
+    frac = (x[0] - base) + x[1]
+    return base.astype(np.int64) + np.floor(frac).astype(np.int64)
+
+
+def _dd_ceil_i64(x):
+    base = np.ceil(x[0])
+    frac = (x[0] - base) + x[1]
+    return base.astype(np.int64) + np.ceil(frac).astype(np.int64)
+
+
+_DD_INV_SQRT2 = _dd_from_fraction(Fraction(_INV_SQRT2_FP, _ONE))
+_DD_SQRT2 = _dd_from_fraction(Fraction(_SQRT2_FP, _ONE))
+
 
 # --------------------------------------------------------------------------
 # Stage 1: grid candidates
@@ -44,10 +213,15 @@ _SQRT2 = math.sqrt(2.0)
 _LOG_LAMBDA = math.log(1.0 + _SQRT2)
 
 
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+
 def _solve_zrt2_intervals(A: float, B: float, C: float, D: float,
-                          cap: int = 200_000) -> List[Tuple[int, int]]:
+                          cap: int = 200_000
+                          ) -> Tuple[np.ndarray, np.ndarray]:
     """All (m, n) in Z^2 with  m + n sqrt2 in [A, B]  and
-    m - n sqrt2 in [C, D].
+    m - n sqrt2 in [C, D], as a pair of aligned arrays (m_arr, n_arr)
+    (int64, or object dtype when the reconstruction products overflow).
 
     The naive scan costs O(max(widths)); rescaling by the fundamental unit
     lambda = 1 + sqrt2 (an automorphism of the lattice that stretches one
@@ -56,7 +230,7 @@ def _solve_zrt2_intervals(A: float, B: float, C: float, D: float,
     trick from the Ross-Selinger synthesis paper."""
     w, W = B - A, D - C
     if w <= 0 or W <= 0:
-        return []
+        return _EMPTY
     # v = lambda^j vt widens [A,B] by lambda^-j and shrinks [C,D] by
     # lambda^j (|lambda_bullet| = 1/lambda): equal widths at
     # lambda^(2j) = w/W
@@ -78,35 +252,46 @@ def _solve_zrt2_intervals(A: float, B: float, C: float, D: float,
     m_lo = math.floor((A2 + C2) / 2.0) - 1
     m_hi = math.ceil((B2 + D2) / 2.0) + 1
     if m_hi - m_lo > cap:
-        return []
-    out: List[Tuple[int, int]] = []
+        return _EMPTY
     ms = np.arange(m_lo, m_hi + 1, dtype=np.float64)
-    n_lo = np.ceil(np.maximum(A2 - ms, ms - D2) / _SQRT2 - 1e-9)
-    n_hi = np.floor(np.minimum(B2 - ms, ms - C2) / _SQRT2 + 1e-9)
+    # scale-aware slop: endpoint magnitudes reach ~sqrt2 R (R = sqrt2^k, so
+    # ulp ~ 4e-9 at k = 50); widening only ADDS boundary candidates, which
+    # the exact acceptance / bullet checks reject downstream
+    tol = 1e-9 + 4e-15 * max(abs(A2), abs(B2), abs(C2), abs(D2))
+    n_lo = np.ceil(np.maximum(A2 - ms, ms - D2) / _SQRT2 - tol)
+    n_hi = np.floor(np.minimum(B2 - ms, ms - C2) / _SQRT2 + tol)
     ok = np.nonzero(n_lo <= n_hi)[0]
+    if len(ok) == 0:
+        return _EMPTY
+    La, Lb = lam_j.a, lam_j.b  # raw-int reconstruct (ZRt2 mult per point
+    # costs ~30x in object overhead on the hot enumeration path)
+
+    cnt = (n_hi[ok] - n_lo[ok] + 1).astype(np.int64)
+    tot = int(cnt.sum())
+    if tot > cap:
+        return _EMPTY
+    starts = np.cumsum(cnt) - cnt
+    # (outer point, n) flat expansion
+    scale = max(abs(La), 2 * abs(Lb), 1) * (
+        float(np.abs(ms[ok]).max()) + float(np.abs(n_hi[ok]).max())
+        + float(np.abs(n_lo[ok]).max()) + 2.0)
+    if scale < 2 ** 61:
+        # products provably fit int64: fully vectorized (the outer call at
+        # eps ~ 1e-10 visits ~10^6 lattice points per k)
+        mt_v = np.repeat(ms[ok].astype(np.int64), cnt)
+        nt_v = (np.arange(tot) - np.repeat(starts, cnt)
+                + np.repeat(n_lo[ok].astype(np.int64), cnt))
+        return (La * mt_v + 2 * Lb * nt_v, La * nt_v + Lb * mt_v)
+
+    m_out: List[int] = []
+    n_out: List[int] = []
     for i in ok:
         mt = int(ms[i])
         for nt in range(int(n_lo[i]), int(n_hi[i]) + 1):
             # back to the original frame: (m + n sqrt2) = lambda^j (mt + nt sqrt2)
-            v = lam_j * ZRt2(mt, nt)
-            out.append((v.a, v.b))
-            if len(out) > cap:
-                return out
-    return out
-
-
-def _halfplane_interval(zx: float, zy: float, x: float, R: float,
-                        eps: float) -> Tuple[float, float]:
-    """y-interval of {w : zx wx + zy wy >= R (1 - eps^2/2), |w| <= R} at
-    wx = x. Assumes |zy| bounded away from 0 (caller picks the frame)."""
-    rad2 = R * R - x * x
-    if rad2 < 0:
-        return 1.0, 0.0
-    rad = math.sqrt(rad2)
-    thresh = (R * (1.0 - eps * eps / 2.0) - zx * x) / zy
-    if zy > 0:
-        return max(thresh, -rad), rad
-    return -rad, min(thresh, rad)
+            m_out.append(La * mt + 2 * Lb * nt)
+            n_out.append(La * nt + Lb * mt)
+    return (np.array(m_out, dtype=object), np.array(n_out, dtype=object))
 
 
 def _grid_candidates(theta: float, eps: float, k: int,
@@ -124,15 +309,18 @@ def _grid_candidates(theta: float, eps: float, k: int,
     """
     R = _SQRT2 ** k
     zx, zy = math.cos(theta / 2.0), -math.sin(theta / 2.0)
-    target = cmath.exp(-1j * theta / 2.0)
+    cos_fp, sin_fp = _cos_sin_fp(theta / 2.0)
+    eps2_fp = int(Fraction(eps) * Fraction(eps) * _ONE) + 1
 
     swap = abs(zy) > abs(zx)  # outer axis must have |z component| >= 1/sqrt2
     if swap:
         zx, zy = zy, zx
 
-    # outer extent: the sliver spans ~ +-(eps sqrt2) R tangentially around
-    # z R; project on the outer axis and pad a little
-    span = 1.6 * eps * R + 1e-12 * R
+    # outer extent: cap corners sit at x = zx R (1 - eps^2/2) +-
+    # |zy| R sqrt(eps^2 - eps^4/4), so the x-extent is |zy| eps R + O(eps^2 R)
+    # (NOT ~eps R: the tangent direction has x-component |zy|); pad by the
+    # float64 noise floor of the outer lattice solve
+    span = 1.05 * abs(zy) * eps * R + 2.0 * eps * eps * R + 8e-16 * R
     lo, hi = zx * R - span, zx * R + span
     lo = max(lo, -R)
     hi = min(hi, R)
@@ -141,36 +329,197 @@ def _grid_candidates(theta: float, eps: float, k: int,
     # bullet: sqrt2 x_bullet = -(alpha - a sqrt2) -> alpha - a sqrt2 in
     # -sqrt2 [-R, R] = [-sqrt2 R, sqrt2 R]
     s2R = _SQRT2 * R
-    outer = _solve_zrt2_intervals(_SQRT2 * lo, _SQRT2 * hi, -s2R, s2R)
+    alpha_raw, a_raw = _solve_zrt2_intervals(_SQRT2 * lo, _SQRT2 * hi,
+                                             -s2R, s2R, cap=30_000_000)
+    if len(alpha_raw) == 0:
+        return []
 
-    scored: List[Tuple[float, ZOmega]] = []
-    for (alpha, a) in outer:  # v = alpha + a sqrt2 = sqrt2 x
-        x = a + alpha / _SQRT2
-        y_lo, y_hi = _halfplane_interval(zx, zy, x, R, eps)
-        if y_lo > y_hi:
+    # ---- vectorized inner stage (double-double precision) ----------------
+    # One pass over ALL outer points at once. The y-band depth is
+    # eps^2 R / 2 — far below the float64 noise floor of ~1e-16 R once
+    # eps < 1e-8 — so the interval geometry runs in two-float (dd)
+    # arithmetic (~1e-32 relative). All slop still only widens; membership
+    # authority is the exact integer accept at the end.
+    alpha_f = alpha_raw.astype(np.float64)
+    a_f = a_raw.astype(np.float64)
+    zero = np.zeros_like(alpha_f)
+
+    f_sqrt2 = Fraction(_SQRT2_FP, _ONE)
+    f_zx, f_zy = Fraction(cos_fp, _ONE), -Fraction(sin_fp, _ONE)
+    if swap:
+        f_zx, f_zy = f_zy, f_zx
+    zx_dd = _dd_from_fraction(f_zx)
+    zy_dd = _dd_from_fraction(f_zy)
+    f_R = (1 << (k // 2)) * (f_sqrt2 if k % 2 else Fraction(1))
+    c1_dd = _dd_from_fraction(f_R * (1 - Fraction(eps) ** 2 / 2))
+    R2 = float(1 << k)  # exact
+    pad_dd = (1e-30 * R, 0.0)
+
+    ax = _dd_mul_f(_DD_INV_SQRT2, alpha_f)          # alpha / sqrt2
+    x_dd = _dd_add((a_f, zero), ax)
+    xb_dd = _dd_sub((a_f, zero), ax)
+
+    rad2_dd = _dd_sub((R2, 0.0), _dd_mul(x_dd, x_dd))
+    valid = rad2_dd[0] > 0
+    rad_dd = _dd_sqrt((np.maximum(rad2_dd[0], 0.0),
+                       np.where(valid, rad2_dd[1], 0.0)))
+    thresh_dd = _dd_div(_dd_sub(c1_dd, _dd_mul(x_dd, zx_dd)), zy_dd)
+    neg_rad = (-rad_dd[0], -rad_dd[1])
+    if zy > 0:
+        y_lo_dd = _dd_max(_dd_sub(thresh_dd, pad_dd), _dd_sub(neg_rad, pad_dd))
+        y_hi_dd = _dd_add(rad_dd, pad_dd)
+    else:
+        y_lo_dd = _dd_sub(neg_rad, pad_dd)
+        y_hi_dd = _dd_min(_dd_add(thresh_dd, pad_dd), _dd_add(rad_dd, pad_dd))
+
+    yb2_dd = _dd_sub((R2, 0.0), _dd_mul(xb_dd, xb_dd))
+    yb_dd = _dd_sqrt((np.maximum(yb2_dd[0], 0.0),
+                      np.where(yb2_dd[0] > 0, yb2_dd[1], 0.0)))
+
+    p_arr = (alpha_raw.astype(np.int64) & 1).astype(np.float64) \
+        if alpha_raw.dtype != object else \
+        np.array([int(v) & 1 for v in alpha_raw], dtype=np.float64)
+    sh_dd = _dd_mul_f(_DD_INV_SQRT2, p_arr)
+    # y = c + (2 n + p)/sqrt2: solve yt = y - sh = c + n sqrt2 with
+    # yt in [Ai, Bi], yt_bullet in [Ci, Di]
+    Ai = _dd_sub(y_lo_dd, sh_dd)
+    Bi = _dd_sub(y_hi_dd, sh_dd)
+    Ci = _dd_add((-yb_dd[0], -yb_dd[1]), sh_dd)
+    Di = _dd_add(yb_dd, sh_dd)
+    w_i = _dd_sub(Bi, Ai)[0]
+    W_i = _dd_sub(Di, Ci)[0]
+    valid &= (w_i > 0) & (W_i > 0)
+    if not valid.any():
+        return []
+
+    # per-point lambda-rescale (cf. _solve_zrt2_intervals), dd divisors
+    # built from the EXACT lambda^j ring coefficients so the rescaled
+    # intervals stay consistent with the exact reconstruction map
+    with np.errstate(divide='ignore', invalid='ignore'):
+        j_i = np.floor(0.5 * np.log(np.where(valid, w_i / W_i, 1.0))
+                       / _LOG_LAMBDA + 0.5)
+    j_i = np.clip(j_i, -60, 60)
+    lam_pows: dict = {}
+    lam_tab: dict = {}
+    for jj in np.unique(j_i[valid]).astype(np.int64):
+        jj = int(jj)
+        zr = LAMBDA ** jj if jj >= 0 else ZRt2(-1, 1) ** (-jj)
+        lam_pows[jj] = zr
+        v = Fraction(zr.a) + Fraction(zr.b) * f_sqrt2
+        vb = Fraction(zr.a) - Fraction(zr.b) * f_sqrt2
+        lam_tab[jj] = (_dd_from_fraction(v), _dd_from_fraction(vb))
+    lam_hi = np.ones_like(w_i)
+    lam_lo = np.zeros_like(w_i)
+    lamb_hi = np.ones_like(w_i)
+    lamb_lo = np.zeros_like(w_i)
+    for jj, ((vh, vl), (bh, bl)) in lam_tab.items():
+        m = (j_i == jj) & valid
+        lam_hi[m] = vh
+        lam_lo[m] = vl
+        lamb_hi[m] = bh
+        lamb_lo[m] = bl
+
+    A2 = _dd_div(Ai, (lam_hi, lam_lo))
+    B2 = _dd_div(Bi, (lam_hi, lam_lo))
+    C2 = _dd_div(Ci, (lamb_hi, lamb_lo))
+    D2 = _dd_div(Di, (lamb_hi, lamb_lo))
+    C2, D2 = _dd_min(C2, D2), _dd_max(C2, D2)
+
+    # int64-representability guard: rows whose equalized coordinates exceed
+    # 2^62 cannot be walked exactly. These are the rows whose band collapsed
+    # to the pad floor (w ~ 1e-30 R => extreme rescale): their true lattice
+    # content is ~1e-15 points, so dropping them is statistically free.
+    big = np.maximum(np.abs(A2[0]), np.abs(B2[0]))
+    big = np.maximum(big, np.maximum(np.abs(C2[0]), np.abs(D2[0])))
+    valid &= np.isfinite(big) & (big < 4.0e18)
+    if not valid.any():
+        return []
+    for arr in (A2, B2, C2, D2):
+        arr[0][~valid] = 0.0
+        arr[1][~valid] = 0.0
+
+    # ---- equalized-frame lattice walk (int64 + dd residuals) -------------
+    # Equalized coordinates reach ~sqrt(W/w) ~ R/eps, far beyond float64's
+    # 2^53 exact-integer range at eps <= 1e-9 (a float mt quantizes to
+    # multiples of 64, inflating every n-window by that much). So: lattice
+    # coordinates live in int64 (exact to 9.2e18), and interval residuals
+    # are dd values around the per-point integer center m0.
+    m_ctr = _dd_mul_f(_dd_add(A2, C2), 0.5)
+    ctr_hi = np.where(valid, m_ctr[0], 0.0)
+    ctr_lo = np.where(valid, m_ctr[1], 0.0)
+    m0 = (np.round(ctr_hi).astype(np.int64)
+          + np.round(ctr_lo).astype(np.int64))  # nearest int (+-1 slop
+    # absorbed by the dm range below); exact int64 representation as dd:
+    m0_f = m0.astype(np.float64)
+    m0_dd = (m0_f, (m0 - m0_f.astype(np.int64)).astype(np.float64))
+
+    w2 = _dd_sub(B2, A2)[0]
+    W2 = _dd_sub(D2, C2)[0]
+    half_w = np.where(valid, np.ceil((w2 + W2) / 2.0) + 2, -1)
+    dmax = int(min(np.max(half_w, initial=0), 16))
+
+    scored: List[Tuple[int, ZOmega]] = []
+    two_k = 1 << k
+    tolr = 1e-9
+    inv_s2_dd = _DD_INV_SQRT2
+    hits: List[Tuple[int, int, int, int]] = []  # (i, mt, n_lo, n_hi)
+    for dm in range(-dmax, dmax + 1):
+        mt_dd = (m0_dd[0], m0_dd[1] + dm)
+        nA = _dd_mul(_dd_sub(A2, mt_dd), inv_s2_dd)
+        nB = _dd_mul(_dd_sub(B2, mt_dd), inv_s2_dd)
+        nC = _dd_mul(_dd_sub(C2, mt_dd), inv_s2_dd)
+        nD = _dd_mul(_dd_sub(D2, mt_dd), inv_s2_dd)
+        low = _dd_max(nA, (-nD[0], -nD[1]))
+        upp = _dd_min(nB, (-nC[0], -nC[1]))
+        n_lo64 = _dd_ceil_i64(_dd_add(low, (-tolr, 0.0)))
+        n_hi64 = _dd_floor_i64(_dd_add(upp, (tolr, 0.0)))
+        sel = np.nonzero(valid & (np.abs(dm) <= half_w)
+                         & (n_lo64 <= n_hi64))[0]
+        for i in sel:
+            hits.append((int(i), int(m0[i]) + dm,
+                         int(n_lo64[i]), int(n_hi64[i])))
+
+    # survivors are O(candidates): reconstruct exactly and accept exactly
+    for (i, mt_f, nlo, nhi) in hits:
+        if nhi - nlo > 64:  # no legitimate row spans more than a few n
             continue
-        x_b = a - alpha / _SQRT2
-        yb = math.sqrt(max(0.0, R * R - x_b * x_b))
-        p = alpha & 1  # inner beta must match alpha's parity
-        # y = c + (2 n + p)/sqrt2: solve yt = y - p/sqrt2 = c + n sqrt2
-        sh = p / _SQRT2
-        inner = _solve_zrt2_intervals(y_lo - sh, y_hi - sh,
-                                      -yb + sh, yb + sh)
-        for (c, nb) in inner:
+        jj = int(j_i[i])
+        La, Lb = lam_pows[jj].a, lam_pows[jj].b
+        alpha, a = int(alpha_raw[i]), int(a_raw[i])
+        p = alpha & 1
+        for nt in range(nlo, nhi + 1):
+            c = La * mt_f + 2 * Lb * nt
+            nb = La * nt + Lb * mt_f
             beta = 2 * nb + p
-            y = c + beta / _SQRT2
-            # x is the outer coordinate: the IMAG axis when swapped
-            w = (complex(y, x) if swap else complex(x, y)) / R
-            re = (w.conjugate() * target).real
-            dist = math.sqrt(max(0.0, 1.0 - min(1.0, re)))
-            if dist <= eps:
-                a1 = (alpha + beta) // 2
-                a3 = (beta - alpha) // 2
-                zo = (ZOmega(a, a1, c, a3) if not swap
-                      else ZOmega(c, a1, a, -a3))
-                scored.append((dist, zo))
+            a1 = (alpha + beta) // 2
+            a3 = (beta - alpha) // 2
+            u0, u1, u2, u3 = ((a, a1, c, a3) if not swap
+                              else (c, a1, a, -a3))
+            # exact accept, both parts integer-decided (float64 cannot
+            # resolve 1 - re ~ eps^2 nor |u| <= R to relative eps^2 below
+            # eps ~ 1e-8):
+            #  (a) xi = 2^k - |u|^2 >= 0 in both embeddings — points a
+            #      float-ulp OUTSIDE the disc have dist^2 < 0 and would
+            #      otherwise sort first and crowd out every true candidate;
+            #  (b) dist^2 <= eps^2 in 256-bit fixed point.
+            # |u|^2 = s1 + s2 sqrt2 (raw ints: ~10x less object overhead)
+            s1 = u0 * u0 + u1 * u1 + u2 * u2 + u3 * u3
+            s2 = u1 * (u0 + u2) + u3 * (u2 - u0)
+            if not (_nonneg(two_k - s1, -s2) and _nonneg(two_k - s1, s2)):
+                continue
+            zo = ZOmega(u0, u1, u2, u3)
+            d2 = _dist2_fp(zo, k, cos_fp, sin_fp)
+            if d2 <= eps2_fp:
+                scored.append((d2, zo))
     scored.sort(key=lambda s: s[0])
     return [z for _, z in scored[:max_candidates]]
+
+
+def _nonneg(a: int, b: int) -> bool:
+    """Exact a + b sqrt2 >= 0 (cf. ZRt2.is_nonneg, without the object)."""
+    if a >= 0:
+        return b >= 0 or a * a >= 2 * b * b
+    return b > 0 and 2 * b * b >= a * a
 
 
 # --------------------------------------------------------------------------
@@ -434,10 +783,21 @@ def _omega_power(z: ZOmega) -> int:
 # Top level
 # --------------------------------------------------------------------------
 
-def gridsynth_rz(theta: float, eps: float = 1e-5, max_k: int = 60
+def gridsynth_rz(theta: float, eps: float = 1e-5, max_k: int = 120
                  ) -> Optional[List[str]]:
     """Clifford+T word for Rz(theta) to phase-invariant distance <= eps
-    (circuit order), or None if no candidate solved within max_k."""
+    (circuit order), or None if no candidate solved within max_k.
+
+    Acceptance is decided exactly (256-bit fixed point, _dist2_fp) and the
+    interval geometry runs in double-double, so eps = 1e-10 synthesizes
+    correctly in seconds (round-2's float64 acceptance walled at ~1e-7).
+    The remaining floor is int64 overflow of the equalized-frame lattice
+    coordinates (~R/eps > 2^62 below eps ~ 3e-11), guarded explicitly."""
+    if eps < 3e-11:
+        raise ValueError(
+            f'eps={eps:g} is below the enumeration floor (~3e-11): the '
+            f'equalized-frame lattice coordinates (~R/eps) exceed the exact '
+            f'int64 range; see _grid_candidates')
     theta = math.remainder(theta, 4.0 * math.pi)
     # first solutions appear when eps^3 R^4 ~ 1 (sliver area x bullet disc),
     # i.e. k ~ 1.5 log2(1/eps); starting a little low costs nothing now
@@ -445,12 +805,31 @@ def gridsynth_rz(theta: float, eps: float = 1e-5, max_k: int = 60
     for k in range(k0, max_k):
         for u in _grid_candidates(theta, eps, k):
             xi = ZRt2(2 ** k, 0) - u.norm_zrt2()
+            # pre-screen: only attempt norms that factor cheaply (small
+            # primes x at-most-one large prime). Candidates are plentiful
+            # and ~1/ln(N) of them have prime cofactor; running Pollard rho
+            # on every 100+-bit composite norm is what made eps <= 1e-8
+            # take minutes.
+            if not _norm_factors_easily(abs(xi.norm_int())):
+                continue
             t = solve_norm_equation(xi)
             if t is None:
                 continue
             word = synthesize_unitary_word(u, t, k)
             return word
     return None
+
+
+def _norm_factors_easily(n: int, rho_bits: int = 56) -> bool:
+    """True when n = (small primes) x (prime or < 2^rho_bits cofactor):
+    exactly the cases factorize() resolves in microseconds."""
+    from cpflow_tpu.circuits.rings import is_prime
+    if n <= 1:
+        return True
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47):
+        while n % p == 0:
+            n //= p
+    return n == 1 or n.bit_length() <= rho_bits or is_prime(n)
 
 
 def word_matrix(word: List[str]) -> np.ndarray:
@@ -465,3 +844,54 @@ def word_matrix(word: List[str]) -> np.ndarray:
 def phase_invariant_distance(u: np.ndarray, v: np.ndarray) -> float:
     t = abs((u.conj() * v).sum()) / 2.0
     return math.sqrt(max(0.0, 1.0 - min(1.0, t)))
+
+
+# --------------------------------------------------------------------------
+# Exact word verification (float64 word_matrix cannot resolve dist <= 1e-8:
+# 1 - |tr|/2 ~ eps^2 underflows the 2^-53 relative precision)
+# --------------------------------------------------------------------------
+
+_ZO0, _ZO1 = ZOmega(0), ZOmega(1)
+# name -> ((m00, m01), (m10, m11), denominator sqrt2-exponent)
+_EXACT_1Q = {
+    'h': ((_ZO1, _ZO1), (_ZO1, -_ZO1), 1),
+    'x': ((_ZO0, _ZO1), (_ZO1, _ZO0), 0),
+    'z': ((_ZO1, _ZO0), (_ZO0, -_ZO1), 0),
+    's': ((_ZO1, _ZO0), (_ZO0, OMEGA ** 2), 0),
+    'sdg': ((_ZO1, _ZO0), (_ZO0, OMEGA ** 6), 0),
+    't': ((_ZO1, _ZO0), (_ZO0, OMEGA), 0),
+    'tdg': ((_ZO1, _ZO0), (_ZO0, OMEGA ** 7), 0),
+}
+
+
+def word_unitary_exact(word: List[str]):
+    """Exact unitary of a Clifford+T word (circuit order): returns
+    ((m00, m01), (m10, m11), k) with U = M / sqrt2^k over Z[w]."""
+    (a, b), (c, d), k = (_ZO1, _ZO0), (_ZO0, _ZO1), 0
+    for g in word:
+        (ga, gb), (gc, gd), gk = _EXACT_1Q[g]
+        a, b, c, d = (ga * a + gb * c, ga * b + gb * d,
+                      gc * a + gd * c, gc * b + gd * d)
+        k += gk
+        if k >= 2:  # keep coefficients small: strip sqrt2^2 = 2 when possible
+            parts = [x.div_sqrt2() for x in (a, b, c, d)]
+            if all(p is not None for p in parts):
+                a, b, c, d = parts
+                k -= 1
+    return (a, b), (c, d), k
+
+
+def word_dist2_rz(word: List[str], theta: float) -> Fraction:
+    """Exact-to-2^-256 phase-invariant distance SQUARED between the word's
+    unitary and Rz(theta): dist^2 = 1 - |tr(U^dag Rz)| / 2."""
+    (m00, _), (_, m11), k = word_unitary_exact(word)
+    c_fp, s_fp = _cos_sin_fp(theta / 2.0)
+    re0, im0 = _re_im_fp(m00)
+    re3, im3 = _re_im_fp(m11)
+    # tr(U^dag Rz) = [conj(m00) z + conj(m11) conj(z)] / sqrt2^k,
+    # z = cos - i sin
+    tr_re = ((re0 * c_fp - im0 * s_fp) + (re3 * c_fp + im3 * s_fp)) >> _PREC
+    tr_im = ((-re0 * s_fp - im0 * c_fp) + (re3 * s_fp - im3 * c_fp)) >> _PREC
+    abs_tr = math.isqrt(tr_re * tr_re + tr_im * tr_im)
+    r_fp = (_ONE << (k // 2)) if k % 2 == 0 else (_SQRT2_FP << (k // 2))
+    return Fraction(_ONE - (abs_tr << _PREC) // (2 * r_fp), _ONE)

@@ -121,3 +121,51 @@ def test_circuit_with_irrational_angle_reaches_clifford_t():
     names = {i.name for i in out.instructions}
     assert names <= {'h', 't', 'tdg', 's', 'sdg', 'z', 'x', 'cz'}
     assert out.gates_count(['t', 'tdg']) > 0
+
+
+def test_gridsynth_exact_acceptance_1e10():
+    """Round-3 criterion (VERDICT item 6): eps = 1e-10 synthesizes, with the
+    word verified EXACTLY (the float64 word_matrix check cannot resolve
+    1 - |tr|/2 ~ 1e-20). word_dist2_rz multiplies the Clifford+T word over
+    Z[w] exactly and evaluates dist^2 in 256-bit fixed point."""
+    from cpflow_tpu.circuits.gridsynth import word_dist2_rz
+
+    eps = 1e-10
+    for theta in (0.5, -0.7):
+        w = gridsynth_rz(theta, eps)
+        assert w is not None, theta
+        d2 = word_dist2_rz(w, theta)
+        assert 0 <= float(d2) <= eps * eps, (theta, float(d2))
+        tc = sum(1 for g in w if g in ('t', 'tdg'))
+        # T-count stays in the Ross-Selinger optimal regime
+        assert tc <= 3.6 * math.log2(1 / eps) + 12, tc
+
+
+def test_gridsynth_exact_verifier_against_mpmath():
+    """Independent cross-check of word_dist2_rz at 50-digit precision."""
+    mp = pytest.importorskip('mpmath')
+    from cpflow_tpu.circuits.gridsynth import word_dist2_rz, word_unitary_exact
+
+    theta, eps = 2.2, 1e-8
+    w = gridsynth_rz(theta, eps)
+    assert w is not None
+    d2 = word_dist2_rz(w, theta)
+
+    with mp.workdps(50):
+        (m00, m01), (m10, m11), k = word_unitary_exact(w)
+        om = mp.exp(1j * mp.pi / 4)
+
+        def val(z):
+            a0, a1, a2, a3 = z.a
+            return a0 + a1 * om + a2 * om ** 2 + a3 * om ** 3
+
+        r = mp.sqrt(2) ** k
+        z = mp.exp(-1j * mp.mpf(theta) / 2)
+        tr = (mp.conj(val(m00)) * z + mp.conj(val(m11)) * mp.conj(z)) / r
+        d2_mp = 1 - abs(tr) / 2
+        assert abs(float(d2) - float(d2_mp)) < 1e-25
+
+
+def test_gridsynth_eps_floor_guard():
+    with pytest.raises(ValueError):
+        gridsynth_rz(0.5, 1e-12)
