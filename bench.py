@@ -87,7 +87,7 @@ def _run():
     val_grad = jax.value_and_grad(objective, has_aux=True)
 
     if mode == 'pallas':
-        from cpflow_tpu.sim import pallas_sweep as ps
+        from cpflow_tpu.experimental import pallas_sweep as ps
         pallas_fn = ps.make_pallas_sweep(
             num_qubits, rotation_gates, placements,
             multi_controlled_x(num_qubits), cp_mask, 0.00055, iters)

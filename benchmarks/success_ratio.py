@@ -27,11 +27,16 @@ import numpy as np
 _RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results')
 
 
-def cz_placements_of(label: str):
+def cz_placements_of(label: str, results_dir: str = None):
     """Ordered CZ placements of the best stored decomposition (the paper's
-    get_placements(d.circuit))."""
+    get_placements(d.circuit)). With CPFLOW_SR_SOURCE=reference, main()
+    points results_dir at the REFERENCE's own stored experiments
+    (/root/reference/paper/results, loaded through the migration fallback)
+    so the measured architecture is EXACTLY the paper's — round-2's star
+    rows were measured on OUR 16-CZ star decomposition, whose placements
+    differ from the paper's and with them the basin statistics."""
     from cpflow_tpu.api import Results
-    res = Results.load(os.path.join(_RESULTS, label))
+    res = Results.load(os.path.join(results_dir or _RESULTS, label))
     best = min(res.decompositions, key=lambda d: (d.cz_count, d.loss))
     return [tuple(inst.qubits) for inst in best.circuit.instructions
             if inst.name == 'cz']
@@ -78,15 +83,29 @@ def main():
     num_iterations = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
 
     # paper Table 3: toff4 architectures at the per-topology optimal counts
-    cases = [
-        ('connected', 'toffoli4_connected', 'xyz', 0.6e-2),
-        ('connected', 'toffoli4_connected', 'xz', 7.8e-2),
-        ('star', 'toffoli4_star', 'xyz', 0.4e-2),
-        ('star', 'toffoli4_star', 'xz', 0.2e-2),
-    ]
+    source = os.environ.get('CPFLOW_SR_SOURCE', 'ours')
+    if source == 'reference':
+        results_dir = '/root/reference/paper/results'
+        cases = [
+            ('connected', 'toff4_conn_xyz', 'xyz', 0.6e-2),
+            ('connected', 'toff4_conn_xyz', 'xz', 7.8e-2),
+            ('star', 'toff4_star_xyz', 'xyz', 0.4e-2),
+            ('star', 'toff4_star_xyz', 'xz', 0.2e-2),
+        ]
+    else:
+        results_dir = None
+        cases = [
+            ('connected', 'toffoli4_connected', 'xyz', 0.6e-2),
+            ('connected', 'toffoli4_connected', 'xz', 7.8e-2),
+            ('star', 'toffoli4_star', 'xyz', 0.4e-2),
+            ('star', 'toffoli4_star', 'xz', 0.2e-2),
+        ]
+    only = os.environ.get('CPFLOW_SR_ONLY')  # e.g. 'star'
     for name, label, rot, reference in cases:
+        if only and name != only:
+            continue
         try:
-            placements = cz_placements_of(label)
+            placements = cz_placements_of(label, results_dir)
         except FileNotFoundError:
             print(json.dumps({'topology': name, 'rotation_gates': rot,
                               'skipped': f'no stored results for {label}'}),
@@ -98,7 +117,8 @@ def main():
         print(json.dumps({'topology': name, 'num_cz': len(placements),
                           'rotation_gates': rot, 'success_ratio': ratio,
                           'reference_ratio': reference,
-                          'num_samples': num_samples}), flush=True)
+                          'num_samples': num_samples,
+                          'architecture_source': source}), flush=True)
 
 
 if __name__ == '__main__':

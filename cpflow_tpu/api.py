@@ -366,6 +366,13 @@ class AdaptiveOptions(BasicOptions):
     # Trials are NOT bit-identical to the unbucketed mode (the PRNG draws
     # max-length angle vectors), but the search semantics are the same.
     bucketed: bool = False
+    # parallel_trials > 1 evaluates that many TPE suggestions per device
+    # dispatch (constant-liar batching through the vmapped bucketed stage):
+    # suggestions after the first are drawn against provisional trials whose
+    # scores are the mean observed score, so the batch stays diverse.
+    # Sequential-TPE semantics (the reference's) is the default (1). The
+    # dispatch holds parallel_trials x num_samples restarts in memory.
+    parallel_trials: int = 1
 
     def __post_init__(self):
         if self.min_num_cp_gates == -1:
@@ -415,8 +422,16 @@ class Results:
 
     @staticmethod
     def load(path: str) -> 'Results':
-        with open(path, 'rb') as f:
-            return dill.load(f)
+        try:
+            with open(path, 'rb') as f:
+                return dill.load(f)
+        except Exception:
+            # fall back to the reference-pickle migration loader: the
+            # reference's own stored Results (dill pickles of its classes +
+            # hyperopt Trials + qiskit circuits) load and are repaired into
+            # working native objects (cpflow_tpu.migrate)
+            from cpflow_tpu.migrate import load_reference_results
+            return load_reference_results(path)
 
     def best_hyperparameters(self) -> List[List]:
         """[num_cp_gates, r] pairs ordered by increasing score
@@ -616,14 +631,16 @@ class Synthesize:
             learning_rate=options.learning_rate,
             num_iterations=options.num_gd_iterations, sharding=sharding)
 
-    def _bucketed_stage(self, options):
+    def _bucketed_stage(self, options, vmapped: bool = False):
         """One jitted raw-stage executable for ALL (k, r) adaptive trials:
         template padded to max_num_cp_gates; seed, r and the active-block
-        mask are runtime arguments. Cached on the instance."""
+        mask are runtime arguments. Cached on the instance. vmapped=True
+        returns the same stage vmapped over a leading trial axis — the
+        parallel_trials path evaluates N TPE suggestions in ONE dispatch."""
         batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
         key = (options.max_num_cp_gates, options.rotation_gates, batch,
                options.num_gd_iterations, options.learning_rate,
-               options.cp_distribution, options.threshold_cp)
+               options.cp_distribution, options.threshold_cp, vmapped)
         cache = getattr(self, '_stage_cache', None)
         if cache is None:
             cache = self._stage_cache = {}
@@ -662,7 +679,8 @@ class Synthesize:
                                threshold=threshold).sum(axis=0).astype(jnp.int32)
             return cz, best_loss, best_p.T
 
-        cache[key] = (jax.jit(stage), anz)
+        fn = jax.jit(jax.vmap(stage)) if vmapped else jax.jit(stage)
+        cache[key] = (fn, anz)
         return cache[key]
 
     def _verify(self, anz: Ansatz, angles_batch: np.ndarray,
@@ -794,6 +812,35 @@ class Synthesize:
         if num_existing >= options.max_evals:
             log('Evaluation budget already exhausted.')
 
+        def result_from_ev(ev, random_seed, num_cp_gates, r):
+            prospective = cand.filter_prospective(
+                ev, threshold_cz_count=float('inf'),
+                threshold_loss=options.entry_loss)
+            cz_counts = [int(ev.cz[i]) for i in prospective]
+
+            # score: soft-min of cz counts, normalized per sample, log scale
+            # (reference main.py:735-737). Normalize by num_samples, NOT the
+            # mesh-padded batch: trials persist via Results.save and may be
+            # resumed on a machine with a different device count, and TPE's
+            # good/bad split must score both halves on the same scale.
+            score_val = np.sum(2.0 ** (-np.array(cz_counts, dtype=np.float64)))
+            with np.errstate(divide='ignore'):
+                score = float(np.log2(score_val / options.num_samples))
+
+            log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
+
+            return {
+                'loss': -score,
+                'status': 'ok',
+                'random_seed': random_seed,
+                'cz_counts': cz_counts,
+                'num_cp_gates': num_cp_gates,
+                'r': r,
+                'layer': self.layer,
+                'prospective_decompositions':
+                    [[int(ev.cz[i]), ev.angles[i]] for i in prospective],
+            }
+
         def objective(random_seed, search_params):
             num_cp_gates, r = int(search_params[0]), float(search_params[1])
             log(f'\nnum_cp_gates: {num_cp_gates}, r: {r}')
@@ -815,101 +862,143 @@ class Synthesize:
                                          angles=np.asarray(angles)[:, :p_k])
             else:
                 ev = self._raw_and_evaluate(static_options)
-            prospective = cand.filter_prospective(
-                ev, threshold_cz_count=float('inf'),
-                threshold_loss=static_options.entry_loss)
-            cz_counts = [int(ev.cz[i]) for i in prospective]
+            return result_from_ev(ev, random_seed, num_cp_gates, r)
 
-            # score: soft-min of cz counts, normalized per sample, log scale
-            # (reference main.py:735-737). Normalize by num_samples, NOT the
-            # mesh-padded batch: trials persist via Results.save and may be
-            # resumed on a machine with a different device count, and TPE's
-            # good/bad split must score both halves on the same scale.
-            score_val = np.sum(2.0 ** (-np.array(cz_counts, dtype=np.float64)))
-            with np.errstate(divide='ignore'):
-                score = float(np.log2(score_val / options.num_samples))
+        def objective_parallel(suggestions):
+            """Evaluate several (seed, (k, r)) suggestions in ONE device
+            dispatch via the vmapped bucketed stage; one result dict each
+            (same schema as objective)."""
+            stage, anz_max = self._bucketed_stage(options, vmapped=True)
+            n = len(suggestions)
+            seeds = jnp.asarray([s for s, _ in suggestions], dtype=jnp.uint32)
+            rs = jnp.asarray([float(v[1]) for _, v in suggestions],
+                             dtype=jnp.float32)
+            actives = np.zeros((n, anz_max.num_angles), dtype=np.float32)
+            p_ks = []
+            for j, (_, v) in enumerate(suggestions):
+                p_k = 3 * self.num_qubits + \
+                    int(v[0]) * anz_max.num_block_angles
+                actives[j, :p_k] = 1.0
+                p_ks.append(p_k)
+            czs, lss, angs = stage(seeds, rs, jnp.asarray(actives))
+            czs, lss, angs = (np.asarray(czs), np.asarray(lss),
+                              np.asarray(angs))
+            out = []
+            for j, (seed_j, v) in enumerate(suggestions):
+                num_cp_gates, r = int(v[0]), float(v[1])
+                log(f'\nnum_cp_gates: {num_cp_gates}, r: {r}')
+                ev = cand.EvaluatedBatch(cz=czs[j], loss=lss[j],
+                                         angles=angs[j][:, :p_ks[j]])
+                out.append(result_from_ev(ev, seed_j, num_cp_gates, r))
+            return out
 
-            log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
-
-            ret = {
-                'loss': -score,
-                'status': 'ok',
-                'random_seed': random_seed,
-                'cz_counts': cz_counts,
-                'num_cp_gates': num_cp_gates,
-                'r': r,
-                'layer': self.layer,
-                'prospective_decompositions':
-                    [[int(ev.cz[i]), ev.angles[i]] for i in prospective],
-            }
-            return ret
-
-        rng = np.random.default_rng(int(random_seed))
-        iterator = range(num_existing, options.max_evals)
+        n_par = max(1, int(getattr(options, 'parallel_trials', 1) or 1))
+        pbar = None
         if verbose:
             try:  # progress bar over evaluations (reference main.py:793)
                 from tqdm.auto import tqdm
-                iterator = tqdm(iterator, desc='Evaluations',
-                                initial=num_existing, total=options.max_evals)
+                pbar = tqdm(desc='Evaluations', initial=num_existing,
+                            total=options.max_evals)
             except ImportError:
                 pass
-        for i in iterator:
+        i = num_existing
+        stop = False
+        while i < options.max_evals and not stop:
+            step = min(n_par, options.max_evals - i)
             log('\n' + '-' * 42)
-            log(f'iteration {i}/{options.max_evals}')
+            log(f'iteration {i}/{options.max_evals}'
+                + (f' ({step} parallel trials)' if step > 1 else ''))
 
-            _, subkey = jax.random.split(jax.random.PRNGKey(random_seed))
-            random_seed = int(subkey[1])
-            rng = np.random.default_rng(random_seed)
+            # draw `step` suggestions; the seed chain evolves sequentially
+            # (reference main.py:798-799) so the trial stream is identical
+            # to the sequential mode's and resume works unchanged
+            suggestions = []
+            if step > 1:
+                # constant-liar: later suggestions see provisional results
+                # at the mean observed score, keeping the batch diverse
+                lie_trials = tpe.Trials()
+                lie_trials.vals = list(trials.vals)
+                lie_trials.results = list(trials.results)
+                lie = (float(np.mean([res['loss']
+                                      for res in trials.results]))
+                       if trials.results else 0.0)
+            for _ in range(step):
+                _, subkey = jax.random.split(jax.random.PRNGKey(random_seed))
+                random_seed = int(subkey[1])
+                rng = np.random.default_rng(random_seed)
+                src = trials if step == 1 else lie_trials
+                values = tpe.suggest(space, src, rng)
+                if step > 1:
+                    lie_trials.record(values, {
+                        'loss': lie, 'status': 'ok',
+                        'num_cp_gates': int(values[0]),
+                        'r': float(values[1]),
+                        'random_seed': random_seed, 'cz_counts': []})
+                suggestions.append((random_seed, values))
 
-            values = tpe.suggest(space, trials, rng)
-            result = objective(random_seed, values)
-            trials.record(values, result)
-
-            results.trials = trials
-            if save_results:
-                results.save()
-
-            current_best_cz = scoreboard[0]
-            last = trials.results[-1]
-            num_cp_gates, r = last['num_cp_gates'], last['r']
-            prospect_list = last['prospective_decompositions']
-            if not options.keep_logs:
-                last.pop('prospective_decompositions')
-
-            to_verify = [[cz, angles] for cz, angles in prospect_list
-                         if cz < current_best_cz]
-            if to_verify:
-                log(f'\n{len(to_verify)} candidates beat the current best '
-                    f'CZ count {current_best_cz}; verifying...')
+            if step == 1:
+                outcomes = [objective(*suggestions[0])]
             else:
-                log(f'\nNo candidate beats the current best CZ count '
-                    f'{current_best_cz}.')
+                outcomes = objective_parallel(suggestions)
 
-            if to_verify:
-                anz = self._ansatz(options.get_static(num_cp_gates, r))
-                angles_batch = np.stack([a for _, a in to_verify])
-                ver = self._verify(anz, angles_batch, options)
-                found = False
-                for pos in range(len(to_verify)):
-                    if ver.success[pos]:
-                        num_cz = int(ver.cz[pos])
-                        log(f'\nNew verified decomposition: {num_cz} CZ gates.')
-                        scoreboard.insert(0, num_cz)
-                        d = self._make_decomposition(
-                            anz, ver.best_angles[pos],
-                            adaptive_options=options,
-                            static_options=options.get_static(num_cp_gates, r))
-                        results.decompositions = list(results.decompositions) + [d]
-                        if save_results:
-                            results.save()
-                        found = True
-                        break
-                if not found:
-                    log('\nNone of the candidates survived verification.')
+            for (seed_j, values_j), result in zip(suggestions, outcomes):
+                trials.record(values_j, result)
+                results.trials = trials
+                if save_results:
+                    results.save()
 
-            if options.stop_if_target_reached and \
-                    scoreboard[0] <= options.target_num_cz_gates:
-                log('\nTarget CZ count reached - stopping early.')
-                break
+                current_best_cz = scoreboard[0]
+                last = trials.results[-1]
+                num_cp_gates, r = last['num_cp_gates'], last['r']
+                prospect_list = last['prospective_decompositions']
+                if not options.keep_logs:
+                    last.pop('prospective_decompositions')
+
+                to_verify = [[cz, angles] for cz, angles in prospect_list
+                             if cz < current_best_cz]
+                if to_verify:
+                    log(f'\n{len(to_verify)} candidates beat the current '
+                        f'best CZ count {current_best_cz}; verifying...')
+                else:
+                    log(f'\nNo candidate beats the current best CZ count '
+                        f'{current_best_cz}.')
+
+                if to_verify:
+                    anz = self._ansatz(options.get_static(num_cp_gates, r))
+                    angles_batch = np.stack([a for _, a in to_verify])
+                    ver = self._verify(anz, angles_batch, options)
+                    found = False
+                    for pos in range(len(to_verify)):
+                        if ver.success[pos]:
+                            num_cz = int(ver.cz[pos])
+                            log(f'\nNew verified decomposition: '
+                                f'{num_cz} CZ gates.')
+                            scoreboard.insert(0, num_cz)
+                            d = self._make_decomposition(
+                                anz, ver.best_angles[pos],
+                                adaptive_options=options,
+                                static_options=options.get_static(
+                                    num_cp_gates, r))
+                            results.decompositions = \
+                                list(results.decompositions) + [d]
+                            if save_results:
+                                results.save()
+                            found = True
+                            break
+                    if not found:
+                        log('\nNone of the candidates survived '
+                            'verification.')
+
+                if options.stop_if_target_reached and \
+                        scoreboard[0] <= options.target_num_cz_gates:
+                    log('\nTarget CZ count reached - stopping early.')
+                    stop = True
+                    break
+
+            i += step
+            if pbar is not None:
+                pbar.update(step)
+        if pbar is not None:
+            pbar.close()
 
         return results

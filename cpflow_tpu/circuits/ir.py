@@ -260,8 +260,11 @@ class Circuit:
         with open(path) as f:
             return parse_qasm(f.read())
 
-    def draw(self) -> str:
-        """Plain-text rendering, one line per qubit."""
+    def draw(self, output: str = None, **kwargs) -> str:
+        """Plain-text rendering, one line per qubit. The qiskit-style
+        `output=` argument ('mpl', 'latex_source', ...) is accepted for
+        reference-notebook compatibility and ignored — the rendering is
+        always the text diagram."""
         cols: List[List[str]] = [[] for _ in range(self.num_qubits)]
         for inst in self.instructions:
             width = max(len(self._label(inst, q)) for q in inst.qubits)

@@ -1,6 +1,17 @@
 """Pallas TPU kernel: the ENTIRE multi-start Adam sweep in one kernel.
 
-Motivation (measured, see RESULTS_r1.md): the XLA fused path is bound by
+STATUS: EXPERIMENTAL / REJECTED FOR THE PRODUCT PATH (round 2-3 verdict).
+Measured on v5e: 459k restart-iter/s vs the fused XLA path's 745k. The
+HBM-traffic motivation below turned out not to bind: the workload is
+doubly pinned (RESULTS_r2.md roofline) — the fused XLA path already runs at
+~3/4 of f32 VPU peak AND right at the bandwidth ceiling, and this kernel's
+deficit is its 4x4 block-matrix algebra running at <=50% vreg utilization
+(4-high sublane tiles). Eliminating HBM traffic entirely buys at most the
+~15% compute headroom, which the layout overhead more than consumes. Kept
+as a worked example of a whole-optimizer Pallas kernel (complex-as-pairs,
+in-VMEM adjoint); do not use for the hot loop.
+
+Original motivation (superseded, see above): the XLA fused path is bound by
 HBM round-trips of the (4^n, B) unitary at every gate application — each
 application's reduction ends a fusion, so forward+backward moves ~75 tensors
 of 8 MB per iteration through HBM. This kernel keeps EVERYTHING in

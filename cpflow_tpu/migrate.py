@@ -236,7 +236,44 @@ def load_reference_results(path: str):
             d._decomposer = fresh_decomposer
         # _static_options / _adaptive_options resolved through the shim to
         # OUR dataclasses with the reference's field values — usable as-is
+        _scrub_stubs(d.__dict__)
+    _scrub_stubs(r.__dict__)
     return r
+
+
+def _scrub_stubs(state: dict, max_depth: int = 6) -> None:
+    """Null out attributes whose value graph still contains _Stub objects
+    (dead dill closures, unreconstructed internals). A repaired Results must
+    re-save cleanly: dill pickling dynamically-created stub classes inside
+    huge object graphs is what it cannot survive."""
+    for key, val in list(state.items()):
+        if _contains_stub(val, max_depth):
+            state[key] = None
+
+
+def _contains_stub(obj, depth: int, _seen=None) -> bool:
+    if depth < 0:
+        return False  # known stub sites are shallow (options, _cp_data)
+    if isinstance(obj, _Stub) or isinstance(obj, type) and \
+            issubclass(obj, _Stub):
+        return True
+    if isinstance(obj, (str, bytes, int, float, complex, bool, type(None),
+                        np.ndarray, np.generic)):
+        return False
+    if _seen is None:
+        _seen = set()
+    if id(obj) in _seen:
+        return False
+    _seen.add(id(obj))
+    if isinstance(obj, (list, tuple, set)):
+        return any(_contains_stub(x, depth - 1, _seen) for x in obj)
+    if isinstance(obj, dict):
+        return any(_contains_stub(v, depth - 1, _seen)
+                   for v in obj.values())
+    d = getattr(obj, '__dict__', None)
+    if isinstance(d, dict):
+        return any(_contains_stub(v, depth - 1, _seen) for v in d.values())
+    return False
 
 
 def migrated_decompositions(results) -> List[dict]:

@@ -215,3 +215,35 @@ def test_qiskit_interop_gated():
     else:
         with pytest.raises(ImportError):
             interop.to_qiskit(c)
+
+
+@pytest.mark.slow
+def test_adaptive_parallel_trials():
+    """parallel_trials=N evaluates N TPE suggestions per dispatch through
+    the vmapped bucketed stage (constant-liar batching); the trial stream
+    (seed chain) matches the sequential mode and the search still finds
+    decompositions. Runs over the 8-device virtual mesh."""
+    from cpflow_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.restart_mesh()
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                           num_samples=16, num_gd_iterations=300,
+                           rotation_gates='xz', random_seed=11, max_evals=4,
+                           num_gd_iterations_at_verification=1200,
+                           parallel_trials=2)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='par_trials',
+                   mesh=mesh)
+    res = s.adaptive(opts, save_results=False, verbose=False)
+    assert len(res.trials.results) == 4
+    assert len(res.decompositions) > 0
+
+    # seed chain identical to the sequential mode's (resume compatibility)
+    seq = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                          num_samples=16, num_gd_iterations=300,
+                          rotation_gates='xz', random_seed=11, max_evals=4,
+                          num_gd_iterations_at_verification=1200)
+    s2 = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='seq_trials',
+                    mesh=mesh)
+    res2 = s2.adaptive(seq, save_results=False, verbose=False)
+    assert [t['random_seed'] for t in res.trials.results] == \
+        [t['random_seed'] for t in res2.trials.results]

@@ -9,7 +9,8 @@ from cpflow_tpu.api import LossSpec
 from cpflow_tpu.ops.gates import cz_mat
 from cpflow_tpu.ops.penalty import cp_penalty_linear
 from cpflow_tpu.optimize import engine
-from cpflow_tpu.sim import batched as bt, pallas_sweep as ps
+from cpflow_tpu.experimental import pallas_sweep as ps
+from cpflow_tpu.sim import batched as bt
 from cpflow_tpu.sim.ansatz_kernel import num_block_angles, cp_angle_indices
 from cpflow_tpu.topology import chain_layer, fill_layers
 
