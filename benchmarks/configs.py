@@ -532,8 +532,9 @@ def qx_alu_v2_32():
 
 
 def qx_alu_v4_36():
-    """tab bench I: published 30; r1 found 29 (beats published)."""
-    return _qasm_adaptive('alu-v4_36', 30, target_cz=29, min_k=18, max_k=50)
+    """tab bench I: published 30; r3 found 28 (beats published by 2;
+    committed artifact at loss 5.6e-10)."""
+    return _qasm_adaptive('alu-v4_36', 30, target_cz=28, min_k=18, max_k=50)
 
 
 def qx_4gt13_91_chain():

@@ -101,6 +101,10 @@ def polish_label(label: str) -> dict:
 
 
 def main():
+    # host-side f64 pass: pin CPU (the ambient axon tunnel backend cannot
+    # lower complex128; env var alone does not override the sitecustomize)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
     labels = sys.argv[1:] or sorted(os.listdir(_RESULTS))
     for label in labels:
         try:
