@@ -216,6 +216,9 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
                            'results', label)
     max_evals = int(os.environ.get('CPFLOW_MAX_EVALS', max_evals))
     num_samples = int(os.environ.get('CPFLOW_NUM_SAMPLES', num_samples))
+    # beat hunts: override the early-stop goal below the config's own
+    # (reference_cz, the reported paper baseline, is never overridden)
+    target_cz = int(os.environ.get('CPFLOW_TARGET_CZ', target_cz))
     t0 = time.time()
     s = Synthesize(layer, target_unitary=target_unitary,
                    unitary_loss_func=loss_spec, label=label)
