@@ -623,6 +623,7 @@ class Synthesize:
             regularization_func=self.cp_regularization_func, r=options.r,
             reversible=True)
         batch_size = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        self._check_working_set(batch_size)
         sharding = mesh_lib.restart_sharding(self.mesh) if self.mesh else None
         return cand.run_raw_stage_fused(
             regloss_fn, options.random_seed, batch_size, anz.num_angles,
@@ -631,6 +632,25 @@ class Synthesize:
             learning_rate=options.learning_rate,
             num_iterations=options.num_gd_iterations, sharding=sharding)
 
+    def _check_working_set(self, batch_size: int) -> None:
+        """Warn before the measured VMEM-spill/crash regime: the fused sweep
+        holds (2^n, 2^n, B) complex64 tensors; throughput degrades once one
+        exceeds ~32 MB per device and a v5e worker crashes outright at
+        ~134 MB (6q @ batch 4096) — RESULTS_r3.md §1."""
+        if getattr(self.unitary_loss_func, 'kind', None) == 'state':
+            return  # column-only build, 2^n-fold smaller
+        per_device = batch_size // (self.mesh.devices.size if self.mesh else 1)
+        tensor_mb = (4 ** self.num_qubits) * per_device * 8 / 2 ** 20
+        if tensor_mb > 96:
+            import warnings
+            warnings.warn(
+                f'batched unitary tensor is {tensor_mb:.0f} MB per device '
+                f'(2^{self.num_qubits} x 2^{self.num_qubits} x '
+                f'{per_device} c64); measured to crash a v5e TPU worker '
+                f'beyond ~128 MB — reduce num_samples '
+                f'(throughput plateaus by ~32 MB anyway, RESULTS_r3.md)',
+                stacklevel=3)
+
     def _bucketed_stage(self, options, vmapped: bool = False):
         """One jitted raw-stage executable for ALL (k, r) adaptive trials:
         template padded to max_num_cp_gates; seed, r and the active-block
@@ -638,6 +658,9 @@ class Synthesize:
         returns the same stage vmapped over a leading trial axis — the
         parallel_trials path evaluates N TPE suggestions in ONE dispatch."""
         batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        self._check_working_set(
+            batch * max(1, int(getattr(options, 'parallel_trials', 1) or 1))
+            if vmapped else batch)
         key = (options.max_num_cp_gates, options.rotation_gates, batch,
                options.num_gd_iterations, options.learning_rate,
                options.cp_distribution, options.threshold_cp, vmapped)

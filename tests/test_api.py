@@ -247,3 +247,27 @@ def test_adaptive_parallel_trials():
     res2 = s2.adaptive(seq, save_results=False, verbose=False)
     assert [t['random_seed'] for t in res.trials.results] == \
         [t['random_seed'] for t in res2.trials.results]
+
+
+def test_working_set_warning():
+    """The measured VMEM-crash regime (RESULTS_r3 §1) warns before
+    dispatch; the state-prep kind (column-only build) is exempt."""
+    import warnings as w
+    from cpflow_tpu.ops.gates import multi_controlled_x
+
+    s = Synthesize([[i, i + 1] for i in range(5)],
+                   target_unitary=multi_controlled_x(6), label='ws6',
+                   mesh=None)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        s._check_working_set(4096)   # 134 MB tensors: the crash point
+    assert any('crash' in str(r.message) for r in rec)
+
+    state = np.zeros(64, dtype=np.complex64)
+    state[0] = 1.0
+    s2 = Synthesize([[i, i + 1] for i in range(5)], target_state=state,
+                    label='ws6s', mesh=None)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        s2._check_working_set(4096)
+    assert not rec
