@@ -219,16 +219,26 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
     # beat hunts: override the early-stop goal below the config's own
     # (reference_cz, the reported paper baseline, is never overridden)
     target_cz = int(os.environ.get('CPFLOW_TARGET_CZ', target_cz))
+    # N TPE suggestions per device dispatch (measured 1.68x evals/hour at
+    # N=4 on the tab-toff4 workload, RESULTS_r3); default stays sequential
+    parallel_trials = int(os.environ.get('CPFLOW_PARALLEL_TRIALS', 1))
     t0 = time.time()
     s = Synthesize(layer, target_unitary=target_unitary,
                    unitary_loss_func=loss_spec, label=label)
+    # cross-round resume: materialize the committed trial summary as the
+    # Results pickle when the gitignored dill is gone (fresh checkout)
+    from benchmarks.trials_store import export_summary, seed_results_file
+    if seed_results_file(save_to, label, s.unitary_loss_func, s.layer):
+        print(f'[trials_store] seeded {label} from committed summary',
+              flush=True)
     options = AdaptiveOptions(
         min_num_cp_gates=min_k, max_num_cp_gates=max_k,
         num_samples=num_samples, max_evals=max_evals, bucketed=True,
-        rotation_gates=rotation_gates,
+        rotation_gates=rotation_gates, parallel_trials=parallel_trials,
         target_num_cz_gates=target_cz, stop_if_target_reached=True)
     results = s.adaptive(options, save_results=True, save_to=save_to,
                          verbose=bool(os.environ.get('CPFLOW_VERBOSE')))
+    export_summary(results, label)
     wall = time.time() - t0
     best_cz = min((d.cz_count for d in results.decompositions), default=None)
     best_loss = min((float(d.loss) for d in results.decompositions),
