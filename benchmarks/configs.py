@@ -348,6 +348,35 @@ def toffoli5_connected_xz():
         rotation_gates='xz', target_cz=36, reference_cz=36)
 
 
+def toffoli6_connected_xz():
+    """Stretch BEYOND the paper: direct adaptive synthesis of the 6q
+    Toffoli (the paper stops at 5q, 'several hours'; our composite
+    construction reaches 68 CZ, benchmarks/composite.py). XZ template
+    first — the paper's Table 3 documents up to ~10x higher success
+    ratios for xz at high k (CPFlow.tex:494-518) and the 36-CZ
+    toffoli-5 landed on xz where xyz stalled at 37. num_samples=512
+    keeps the 6q batched unitary tensor (4^6 x B x 8B = 16 MB) inside
+    the measured <=32 MB VMEM plateau (RESULTS_r3 envelope)."""
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli6_connected_xz', connected_layer(6),
+        target_unitary=multi_controlled_x(6),
+        min_k=55, max_k=80, num_samples=512, max_evals=60,
+        rotation_gates='xz', target_cz=67, reference_cz=68)
+
+
+def toffoli6_connected_direct():
+    """Direct 6q Toffoli, xyz template (see toffoli6_connected_xz)."""
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'toffoli6_connected_direct', connected_layer(6),
+        target_unitary=multi_controlled_x(6),
+        min_k=55, max_k=80, num_samples=512, max_evals=60,
+        target_cz=67, reference_cz=68)
+
+
 def toffoli5_connected_record():
     """Stretch hunt BEYOND the paper: the 30-CZ composite (benchmarks/
     composite.py) proves sub-36 connected toffoli-5 circuits exist; try to
@@ -625,6 +654,8 @@ PAPER_TABLE = {
     'toffoli5_connected': toffoli5_connected,
     'toffoli5_connected_xz': toffoli5_connected_xz,
     'toffoli5_connected_record': toffoli5_connected_record,
+    'toffoli6_connected_xz': toffoli6_connected_xz,
+    'toffoli6_connected_direct': toffoli6_connected_direct,
     'relphase_toff5_connected': relphase_toff5_connected,
     'c4sqrtx_connected': c4sqrtx_connected,
     'toffoli4_connected_record': toffoli4_connected_record,
