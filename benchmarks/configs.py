@@ -610,9 +610,11 @@ def qx_aj_e11_165():
 
 
 def qx_one_two_three_v2_100():
-    """tab bench I: published 28 (r1 measured 30 at 1/8 budget)."""
-    return _qasm_adaptive('one-two-three-v2_100', 28, min_k=20, max_k=60,
-                          num_samples=2048, max_evals=100)
+    """tab bench I: published 28; r3 found 27 (beats published by 1;
+    committed artifact polished to 1.2e-11)."""
+    return _qasm_adaptive('one-two-three-v2_100', 28, target_cz=27,
+                          min_k=20, max_k=60, num_samples=2048,
+                          max_evals=100)
 
 
 def qx_4mod5_v1_24_chain():
