@@ -7,7 +7,10 @@ trial dispatch pays ~1-2 s of RTT; the vmapped stage evaluates N
 suggestions in one dispatch.
 
 Usage: python -u -m benchmarks.parallel_trials_bench
-Env:   CPFLOW_PT_EVALS (default 12), CPFLOW_PT_SAMPLES (default 512)
+Env:   CPFLOW_PT_EVALS (default 12), CPFLOW_PT_SAMPLES (default 512),
+       CPFLOW_PT_SET (comma list of parallel_trials values, default "1,4"),
+       CPFLOW_PT_WARMUP=1 (run one throwaway search per N first so the
+       timed pass measures steady state, compiles excluded)
 """
 
 from __future__ import annotations
@@ -30,15 +33,27 @@ def main():
 
     evals = int(os.environ.get('CPFLOW_PT_EVALS', 12))
     samples = int(os.environ.get('CPFLOW_PT_SAMPLES', 512))
+    pt_set = [int(v) for v in
+              os.environ.get('CPFLOW_PT_SET', '1,4').split(',')]
+    warmup = bool(os.environ.get('CPFLOW_PT_WARMUP'))
 
     rows = []
-    for n_par in (1, 4):
+    for n_par in pt_set:
         opts = AdaptiveOptions(min_num_cp_gates=10, max_num_cp_gates=25,
                                num_samples=samples, max_evals=evals,
                                random_seed=7, bucketed=True,
                                parallel_trials=n_par)
         s = Synthesize(connected_layer(4), target_unitary=u_toff4,
                        label=f'pt_bench_{n_par}')
+        if warmup:
+            # throwaway pass populates every executable this N needs, so
+            # the timed pass below is pure steady-state dispatch
+            wu = AdaptiveOptions(min_num_cp_gates=10, max_num_cp_gates=25,
+                                 num_samples=samples,
+                                 max_evals=max(2, n_par),
+                                 random_seed=11, bucketed=True,
+                                 parallel_trials=n_par)
+            s.adaptive(wu, save_results=False, verbose=False)
         t0 = time.time()
         res = s.adaptive(opts, save_results=False, verbose=False)
         wall = time.time() - t0
@@ -50,10 +65,13 @@ def main():
                      'best_cz': min((d.cz_count for d in res.decompositions),
                                     default=None)})
         print(json.dumps(rows[-1]), flush=True)
-    speedup = rows[0]['s_per_eval'] / rows[1]['s_per_eval']
-    print(json.dumps({'config': 'parallel_trials_bench',
-                      'speedup_evals_per_hour': round(speedup, 2),
-                      'backend': jax.default_backend()}), flush=True)
+    if len(rows) > 1:
+        speedup = rows[0]['s_per_eval'] / min(r['s_per_eval']
+                                              for r in rows[1:])
+        print(json.dumps({'config': 'parallel_trials_bench',
+                          'speedup_evals_per_hour': round(speedup, 2),
+                          'warmup': warmup,
+                          'backend': jax.default_backend()}), flush=True)
 
 
 if __name__ == '__main__':

@@ -202,6 +202,22 @@ def _dd_ceil_i64(x):
     return base.astype(np.int64) + np.ceil(frac).astype(np.int64)
 
 
+def _dd_floor_int(x) -> int:
+    """Floor of a scalar dd as an exact Python int — no magnitude limit:
+    a dd pair (hi, lo) represents integers exactly up to ~2^106, because
+    hi carries the high bits (an exact float64, ulp(hi) > 1 once
+    hi > 2^53) and lo the low bits."""
+    base = math.floor(float(x[0]))
+    frac = (float(x[0]) - base) + float(x[1])
+    return base + math.floor(frac)
+
+
+def _dd_ceil_int(x) -> int:
+    base = math.ceil(float(x[0]))
+    frac = (float(x[0]) - base) + float(x[1])
+    return base + math.ceil(frac)
+
+
 _DD_INV_SQRT2 = _dd_from_fraction(Fraction(_INV_SQRT2_FP, _ONE))
 _DD_SQRT2 = _dd_from_fraction(Fraction(_SQRT2_FP, _ONE))
 
@@ -253,6 +269,12 @@ def _solve_zrt2_intervals(A: float, B: float, C: float, D: float,
     m_hi = math.ceil((B2 + D2) / 2.0) + 1
     if m_hi - m_lo > cap:
         return _EMPTY
+    if max(abs(m_lo), abs(m_hi)) > 2 ** 52:
+        # the arange below cannot represent consecutive integers beyond
+        # float53; enumerating would silently skip lattice points. Bail
+        # (completeness loss only — acceptance stays exact downstream);
+        # gridsynth_rz's eps floor keeps workloads away from this wall.
+        return _EMPTY
     ms = np.arange(m_lo, m_hi + 1, dtype=np.float64)
     # scale-aware slop: endpoint magnitudes reach ~sqrt2 R (R = sqrt2^k, so
     # ulp ~ 4e-9 at k = 50); widening only ADDS boundary candidates, which
@@ -275,23 +297,23 @@ def _solve_zrt2_intervals(A: float, B: float, C: float, D: float,
     scale = max(abs(La), 2 * abs(Lb), 1) * (
         float(np.abs(ms[ok]).max()) + float(np.abs(n_hi[ok]).max())
         + float(np.abs(n_lo[ok]).max()) + 2.0)
+    mt_v = np.repeat(ms[ok].astype(np.int64), cnt)
+    nt_v = (np.arange(tot) - np.repeat(starts, cnt)
+            + np.repeat(n_lo[ok].astype(np.int64), cnt))
     if scale < 2 ** 61:
         # products provably fit int64: fully vectorized (the outer call at
         # eps ~ 1e-10 visits ~10^6 lattice points per k)
-        mt_v = np.repeat(ms[ok].astype(np.int64), cnt)
-        nt_v = (np.arange(tot) - np.repeat(starts, cnt)
-                + np.repeat(n_lo[ok].astype(np.int64), cnt))
         return (La * mt_v + 2 * Lb * nt_v, La * nt_v + Lb * mt_v)
 
-    m_out: List[int] = []
-    n_out: List[int] = []
-    for i in ok:
-        mt = int(ms[i])
-        for nt in range(int(n_lo[i]), int(n_hi[i]) + 1):
-            # back to the original frame: (m + n sqrt2) = lambda^j (mt + nt sqrt2)
-            m_out.append(La * mt + 2 * Lb * nt)
-            n_out.append(La * nt + Lb * mt)
-    return (np.array(m_out, dtype=object), np.array(n_out, dtype=object))
+    # reconstruction products overflow int64 (eps below ~3e-11): same
+    # expansion through object (Python-int) arrays — exact at any size,
+    # elementwise-C rather than a Python double loop. The equalized
+    # coordinates themselves still fit int64 (they are bounded by the
+    # arange above; _grid_candidates guards the float53 wall upstream).
+    mt_o = mt_v.astype(object)
+    nt_o = nt_v.astype(object)
+    # back to the original frame: (m + n sqrt2) = lambda^j (mt + nt sqrt2)
+    return (La * mt_o + 2 * Lb * nt_o, La * nt_o + Lb * mt_o)
 
 
 def _grid_candidates(theta: float, eps: float, k: int,
@@ -425,15 +447,18 @@ def _grid_candidates(theta: float, eps: float, k: int,
     D2 = _dd_div(Di, (lamb_hi, lamb_lo))
     C2, D2 = _dd_min(C2, D2), _dd_max(C2, D2)
 
-    # int64-representability guard: rows whose equalized coordinates exceed
-    # 2^62 cannot be walked exactly. These are the rows whose band collapsed
-    # to the pad floor (w ~ 1e-30 R => extreme rescale): their true lattice
-    # content is ~1e-15 points, so dropping them is statistically free.
+    # int64-representability split: rows whose equalized coordinates fit
+    # int64 take the vectorized walk below; wider rows (eps under ~3e-11
+    # pushes coordinates past 2^62) take an exact Python-int scalar walk
+    # after it — dd endpoint pairs represent integers exactly to ~2^106,
+    # so enumeration stays exact far below the old int64 floor.
     big = np.maximum(np.abs(A2[0]), np.abs(B2[0]))
     big = np.maximum(big, np.maximum(np.abs(C2[0]), np.abs(D2[0])))
-    valid &= np.isfinite(big) & (big < 4.0e18)
+    valid &= np.isfinite(big)
     if not valid.any():
         return []
+    fits64 = valid & (big < 4.0e18)
+    over = valid & ~fits64
     for arr in (A2, B2, C2, D2):
         arr[0][~valid] = 0.0
         arr[1][~valid] = 0.0
@@ -447,11 +472,11 @@ def _grid_candidates(theta: float, eps: float, k: int,
     m_ctr = _dd_mul_f(_dd_add(A2, C2), 0.5)
     ctr_hi = np.where(valid, m_ctr[0], 0.0)
     ctr_lo = np.where(valid, m_ctr[1], 0.0)
-    m0 = (np.round(ctr_hi).astype(np.int64)
-          + np.round(ctr_lo).astype(np.int64))  # nearest int (+-1 slop
-    # absorbed by the dm range below); exact int64 representation as dd:
-    m0_f = m0.astype(np.float64)
-    m0_dd = (m0_f, (m0 - m0_f.astype(np.int64)).astype(np.float64))
+    # nearest-integer center as an EXACT dd pair (+-1 slop absorbed by the
+    # dm range below): both words round to integer-valued floats, so
+    # hi + lo is an exact integer of ANY magnitude — overflow rows carry
+    # centers far past 2^62, so no int64 cast happens here
+    m0_dd = _quick_two_sum(np.round(ctr_hi), np.round(ctr_lo))
 
     w2 = _dd_sub(B2, A2)[0]
     W2 = _dd_sub(D2, C2)[0]
@@ -471,13 +496,33 @@ def _grid_candidates(theta: float, eps: float, k: int,
         nD = _dd_mul(_dd_sub(D2, mt_dd), inv_s2_dd)
         low = _dd_max(nA, (-nD[0], -nD[1]))
         upp = _dd_min(nB, (-nC[0], -nC[1]))
-        n_lo64 = _dd_ceil_i64(_dd_add(low, (-tolr, 0.0)))
-        n_hi64 = _dd_floor_i64(_dd_add(upp, (tolr, 0.0)))
-        sel = np.nonzero(valid & (np.abs(dm) <= half_w)
-                         & (n_lo64 <= n_hi64))[0]
+        # rows within int64: exact vectorized ceil/floor (cast garbage on
+        # overflow rows is masked out by sel and silenced here)
+        with np.errstate(invalid='ignore'):
+            n_lo64 = _dd_ceil_i64(_dd_add(low, (-tolr, 0.0)))
+            n_hi64 = _dd_floor_i64(_dd_add(upp, (tolr, 0.0)))
+        in_band = np.abs(dm) <= half_w
+        sel = np.nonzero(fits64 & in_band & (n_lo64 <= n_hi64))[0]
         for i in sel:
-            hits.append((int(i), int(m0[i]) + dm,
+            hits.append((int(i), int(m0_dd[0][i]) + int(m0_dd[1][i]) + dm,
                          int(n_lo64[i]), int(n_hi64[i])))
+        if not over.any():
+            continue
+        # overflow rows (coordinates past 2^62; the norm below eps ~3e-11):
+        # the dd interval math above is magnitude-agnostic, so only the
+        # integer window bounds need exact handling — pre-filter rows whose
+        # window could contain an integer, then drop to Python ints for
+        # just those few (actual hits are O(candidates))
+        gap_ok = _dd_sub(upp, low)[0] >= -0.5
+        for i in np.nonzero(over & in_band & gap_ok)[0]:
+            i = int(i)
+            n_lo_i = _dd_ceil_int(_dd_add(
+                (float(low[0][i]), float(low[1][i])), (-tolr, 0.0)))
+            n_hi_i = _dd_floor_int(_dd_add(
+                (float(upp[0][i]), float(upp[1][i])), (tolr, 0.0)))
+            if n_lo_i <= n_hi_i:
+                hits.append((i, int(m0_dd[0][i]) + int(m0_dd[1][i]) + dm,
+                             n_lo_i, n_hi_i))
 
     # survivors are O(candidates): reconstruct exactly and accept exactly
     for (i, mt_f, nlo, nhi) in hits:
@@ -791,13 +836,17 @@ def gridsynth_rz(theta: float, eps: float = 1e-5, max_k: int = 120
     Acceptance is decided exactly (256-bit fixed point, _dist2_fp) and the
     interval geometry runs in double-double, so eps = 1e-10 synthesizes
     correctly in seconds (round-2's float64 acceptance walled at ~1e-7).
-    The remaining floor is int64 overflow of the equalized-frame lattice
-    coordinates (~R/eps > 2^62 below eps ~ 3e-11), guarded explicitly."""
-    if eps < 3e-11:
+    Lattice coordinates that overflow int64 (below eps ~ 3e-11) fall back
+    to exact Python-int walks, extending the floor to eps = 1e-12. The
+    remaining wall is float53: the outer-frame scan enumerates consecutive
+    integers in a float64 arange, which silently skips lattice points once
+    coordinates pass 2^52 (~eps 1e-13); guarded explicitly there and
+    here."""
+    if eps < 1e-12:
         raise ValueError(
-            f'eps={eps:g} is below the enumeration floor (~3e-11): the '
-            f'equalized-frame lattice coordinates (~R/eps) exceed the exact '
-            f'int64 range; see _grid_candidates')
+            f'eps={eps:g} is below the enumeration floor (1e-12): the '
+            f'outer-frame scan coordinates (~R sqrt(2/eps)) pass the '
+            f'float53 consecutive-integer range; see _solve_zrt2_intervals')
     theta = math.remainder(theta, 4.0 * math.pi)
     # first solutions appear when eps^3 R^4 ~ 1 (sliver area x bullet disc),
     # i.e. k ~ 1.5 log2(1/eps); starting a little low costs nothing now
@@ -833,7 +882,7 @@ def _norm_factors_easily(n: int, rho_bits: int = 56) -> bool:
 
 
 def word_matrix(word: List[str]) -> np.ndarray:
-    """Dense matrix of a gate word in circuit order (for tests/验证)."""
+    """Dense matrix of a gate word in circuit order (for tests)."""
     from cpflow_tpu.circuits.ir import FIXED_GATES
     m = np.eye(2, dtype=complex)
     for g in word:

@@ -168,4 +168,21 @@ def test_gridsynth_exact_verifier_against_mpmath():
 
 def test_gridsynth_eps_floor_guard():
     with pytest.raises(ValueError):
-        gridsynth_rz(0.5, 1e-12)
+        gridsynth_rz(0.5, 9e-13)
+
+
+@pytest.mark.slow
+def test_gridsynth_exact_acceptance_1e11():
+    """Below the old int64 wall (~3e-11): lattice windows whose equalized
+    coordinates overflow int64 resolve through exact Python-int bounds
+    recovered from the dd endpoint pairs; the word still verifies exactly
+    and the T-count stays in the Ross-Selinger optimal regime (~20 s)."""
+    from cpflow_tpu.circuits.gridsynth import word_dist2_rz
+
+    eps = 1e-11
+    w = gridsynth_rz(0.5, eps)
+    assert w is not None
+    d2 = word_dist2_rz(w, 0.5)
+    assert 0 <= float(d2) <= eps * eps, float(d2)
+    tc = sum(1 for g in w if g in ('t', 'tdg'))
+    assert tc <= 3.6 * math.log2(1 / eps) + 12, tc
