@@ -586,9 +586,10 @@ def qx_4gt13_91_chain():
 
 
 def qx_4gt10_v1_81():
-    """tab bench III: published 37* (k in 40..60, 2000 samples)."""
-    return _qasm_adaptive('4gt10-v1_81', 37, min_k=35, max_k=60,
-                          num_samples=2048, max_evals=100)
+    """tab bench III: published 37* (k in 40..60, 2000 samples); r3 found
+    36 (beats published by 1; committed artifact polished to 3.7e-10)."""
+    return _qasm_adaptive('4gt10-v1_81', 37, target_cz=36, min_k=35,
+                          max_k=60, num_samples=2048, max_evals=100)
 
 
 def qx_one_two_three_v1_99():
