@@ -693,6 +693,27 @@ ALL = {
 }
 
 
+# Tunnel-transient error markers: the axon TPU worker occasionally
+# crash-restarts (observed: a ~10-min dead window killed three queued
+# hunts in a row). Searches are resumable (per-trial Results persistence),
+# so waiting out the window and re-entering loses nothing.
+_TRANSIENT = ('TPU worker process crashed', 'UNAVAILABLE', 'socket closed')
+
+
+def _run_with_retry(fn, name, retries=2, backoff_s=150):
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — keep the sweep going
+            msg = f'{type(e).__name__}: {e}'
+            if attempt < retries and any(t in msg for t in _TRANSIENT):
+                print(json.dumps({'config': name, 'transient_error': msg,
+                                  'retry_in_s': backoff_s}), flush=True)
+                time.sleep(backoff_s)
+                continue
+            return {'config': name, 'error': msg}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'readme_ccz'
     if which == 'all':
@@ -702,10 +723,7 @@ def main():
     else:
         names = [which]
     for name in names:
-        try:
-            result = ALL[name]()
-        except Exception as e:  # noqa: BLE001 — keep the sweep going
-            result = {'config': name, 'error': f'{type(e).__name__}: {e}'}
+        result = _run_with_retry(ALL[name], name)
         print(json.dumps(result), flush=True)
 
 
