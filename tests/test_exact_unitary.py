@@ -1,0 +1,137 @@
+"""Exact cyclotomic-integer circuit evaluation and equality certificates
+(cpflow_tpu/circuits/exact_unitary.py) — the in-repo replacement for the
+paper's external Mathematica exactness check (reference paper/CPFlow.tex:430).
+
+Unit tier: ring arithmetic against numpy, certificates on known circuits,
+negative controls. The committed symbolic artifacts under
+benchmarks/artifacts/exact/ are re-proven end-to-end in
+tests/test_exact_artifacts.py."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cpflow_tpu.circuits import exact_unitary as ex
+from cpflow_tpu.circuits.ir import Circuit
+
+
+def _as_complex(mat):
+    return mat.to_complex()
+
+
+def test_ring_roots_of_unity():
+    m = 16
+    # zeta^M = -1, zeta^{2M} = +1
+    assert ex._zpow(m, m)[0] == -1
+    assert ex._zpow(2 * m, m)[0] == 1
+    # conj(zeta^k) * zeta^k == 1 for a few k
+    for k in (0, 1, 5, 11, 15):
+        v = ex._zpow(k, m)
+        prod = ex._vmul(ex._vconj(v, m), v, m)
+        assert prod[0] == 1 and all(c == 0 for c in prod[1:])
+
+
+@pytest.mark.parametrize('name,param', [
+    ('rz', math.pi / 8), ('rz', -3 * math.pi / 4), ('rx', math.pi / 2),
+    ('rx', 5 * math.pi / 8), ('ry', math.pi / 4), ('h', None), ('t', None),
+    ('s', None), ('x', None), ('cz', None), ('cx', None),
+    ('cp', 3 * math.pi / 8),
+])
+def test_exact_gate_matches_float(name, param):
+    from cpflow_tpu.circuits.ir import FIXED_GATES, param_gate_matrix
+    q = 8
+    entries, e = ex.exact_gate(name, param, q)
+    got = ex.ExactMatrix(entries, e, 2 * q).to_complex()
+    want = (param_gate_matrix(name, param) if param is not None
+            else FIXED_GATES[name])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_exact_unitary_matches_float_unitary():
+    qc = Circuit(3)
+    qc.h(0)
+    qc.rz(math.pi / 8, 1)
+    qc.rx(-5 * math.pi / 16, 2)
+    qc.cz(0, 2)
+    qc.cx(2, 1)
+    qc.ry(3 * math.pi / 4, 0)
+    qc.cp(math.pi / 4, 1, 0)
+    qc.t(2)
+    u = ex.exact_unitary(qc, q=16)
+    np.testing.assert_allclose(u.to_complex(), qc.unitary(), atol=1e-12)
+
+
+def test_angle_off_grid_raises():
+    qc = Circuit(1)
+    qc.rz(0.3, 0)  # not pi * p/q
+    with pytest.raises(ex.NotExactError):
+        ex.exact_unitary(qc, q=32)
+
+
+def test_hst_certificate_identity_and_phase():
+    # S gates on both qubits of a CZ sandwich vs the same circuit: exact.
+    qc = Circuit(2)
+    qc.rz(math.pi / 2, 0)
+    qc.cz(0, 1)
+    qc.rz(-math.pi / 2, 0)
+    u = ex.exact_unitary(qc, q=4)
+    t = ex.exact_unitary(qc, q=4)
+    assert ex.hst_equal_certificate(u, t)
+    # global phase does not break the certificate: rz pair == phase * identity
+    qc2 = Circuit(1)
+    qc2.rz(math.pi / 4, 0)
+    qc2.rz(-math.pi / 4, 0)
+    u2 = ex.exact_unitary(qc2, q=8)
+    eye = ex.ExactMatrix.from_int_matrix([[1, 0], [0, 1]], m=16)
+    assert ex.hst_equal_certificate(u2, eye)
+
+
+def test_hst_certificate_rejects_near_miss():
+    # rz(pi/8) is 1e-2-close to identity in loss terms? No — use a small
+    # exact rotation: certificate must be False for any non-equal circuit,
+    # no matter how close.
+    qc = Circuit(1)
+    qc.rz(math.pi / 16, 0)
+    u = ex.exact_unitary(qc, q=16)
+    eye = ex.ExactMatrix.from_int_matrix([[1, 0], [0, 1]], m=32)
+    assert not ex.hst_equal_certificate(u, eye)
+
+
+def test_toffoli3_exact_construction_proves():
+    # Hand-built CCZ sandwiched by H on the target == toffoli-3, exactly.
+    # CCZ via the standard 6-CP-free construction: use cp gates.
+    qc = Circuit(3)
+    qc.h(2)
+    # CCZ = controlled-CP(pi) decomposition: cp(pi/2) ladder
+    qc.cp(math.pi / 2, 1, 2)
+    qc.cx(0, 1)
+    qc.cp(-math.pi / 2, 1, 2)
+    qc.cx(0, 1)
+    qc.cp(math.pi / 2, 0, 2)
+    qc.h(2)
+    u = ex.exact_unitary(qc, q=4)
+    t = ex.ExactMatrix.from_int_matrix(ex.toffoli_permutation(3), m=8)
+    assert ex.hst_equal_certificate(u, t)
+
+
+def test_diagonal_certificate():
+    m = 8
+    # diag(1, i) is diagonal with unit modulus
+    d = ex.ExactMatrix([[ex._zpow(0, m), ex._zero(m)],
+                        [ex._zero(m), ex._zpow(4, m)]], 0, m)
+    assert ex.diagonal_certificate(d)
+    # an X is not diagonal
+    x = ex.ExactMatrix.from_int_matrix([[0, 1], [1, 0]], m=m)
+    assert not ex.diagonal_certificate(x)
+    # diag(1, 2)/2^0 has non-unit modulus
+    bad = ex.ExactMatrix.from_int_matrix([[1, 0], [0, 2]], m=m)
+    assert not ex.diagonal_certificate(bad)
+
+
+def test_controlled_sqrt_x_squares_to_toffoli():
+    n = 3
+    c = ex.controlled_sqrt_x(n, q=4)
+    sq = ex.matmul_exact(c, c)
+    t = ex.ExactMatrix.from_int_matrix(ex.toffoli_permutation(n), m=8)
+    assert ex.hst_equal_certificate(sq, t)
