@@ -40,6 +40,9 @@ _EXACT_DIR = os.path.join(_ART, 'exact')
 MAX_DENOMINATOR = 32
 
 
+_QX = '/root/reference/paper/benchmark_circuits'
+
+
 def exact_target(label: str, num_qubits: int, q: int):
     """Exactly-constructed target + certificate kind for a label family."""
     from cpflow_tpu.circuits import exact_unitary as ex
@@ -54,6 +57,21 @@ def exact_target(label: str, num_qubits: int, q: int):
         return t, 'modulo_diagonal'
     if label.startswith(('c3sqrtx', 'c4sqrtx')):
         return ex.controlled_sqrt_x(num_qubits, q), 'hst'
+    if label.startswith('qx_'):
+        # The ibm_qx benchmark circuits are pure Clifford+T ({cx,h,t,tdg,x})
+        # qasm, so the TARGET itself is exactly evaluable in the same ring
+        # (q even covers h/t). Same IR conventions as the synthesis side.
+        import glob as _glob
+        from cpflow_tpu.circuits.ir import Circuit
+        fname = label[3:]
+        for suffix in ('_chain', '_star', '_square', '_kite'):
+            if fname.endswith(suffix):
+                fname = fname[: -len(suffix)]
+        matches = _glob.glob(f'{_QX}/*/{fname}.qasm')
+        if not matches:
+            return None, None
+        qasm_qc = Circuit.from_qasm_file(matches[0])
+        return ex.exact_unitary(qasm_qc, max(q, 2)), 'hst'
     return None, None
 
 
@@ -75,7 +93,17 @@ def rational_form(label: str):
     qc3 = remove_zero_rgates(rationalize_all_rgates(
         qc2, max_denominator=MAX_DENOMINATOR, angle_threshold=1e-3))
     if not all_rgates_are_rational(qc3, int(math.log2(MAX_DENOMINATOR))):
-        return None, 'angles are not rational multiples of pi', None
+        # Cross-wire gauge freedoms can hide a dyadic form from the
+        # same-wire greedy reducer — try the squeeze pass before giving up.
+        qc2b, all_dyadic = refine_mod.squeeze_to_dyadic(
+            qc2, loss, max_denominator=MAX_DENOMINATOR)
+        if not all_dyadic:
+            return None, 'angles are not rational multiples of pi', None
+        qc3 = remove_zero_rgates(rationalize_all_rgates(
+            remove_zero_rgates(qc2b), max_denominator=MAX_DENOMINATOR,
+            angle_threshold=1e-3))
+        if not all_rgates_are_rational(qc3, int(math.log2(MAX_DENOMINATOR))):
+            return None, 'squeeze left non-rational angles', None
     fr = [Fraction(p / math.pi).limit_denominator(MAX_DENOMINATOR)
           for p in qc3.parameters]
     # Snap angles to their exact rational values before the exact evaluation.

@@ -153,6 +153,92 @@ def reduce_angles(circuit: Circuit, unitary_loss_func,
     return qc
 
 
+def squeeze_to_dyadic(circuit: Circuit, unitary_loss_func,
+                      max_denominator: int = 32,
+                      threshold: float = 1e-5,
+                      snap_tol: float = 3e-3,
+                      rounds: int = 4) -> Tuple[Circuit, bool]:
+    """Beyond-reference pass: drive surviving rotation angles onto the dyadic
+    grid pi*p/2^k so the Rational stage (and the exact cyclotomic proofs)
+    can take the circuit.
+
+    The reference's greedy reducer only merges angles on the SAME wire
+    (exact_decompositions.py:96-104); decompositions often carry continuous
+    gauge freedoms that pair rotations on DIFFERENT wires (measured on
+    qx_4gt13_92: two rx angles on wires 0 and 4 must be equal but their
+    common value is free). This pass (1) snaps near-dyadic angles exact and
+    freezes them, (2) polishes the remaining angles by exact coordinate
+    descent, (3) eliminates off-grid angles by zeroing with a compensating
+    +-a fold into ANY other angle, iterating to a fixed point.
+
+    Returns (circuit, all_dyadic). Opt-in; never called by refine() itself,
+    so reference-parity semantics are untouched.
+    """
+    host_loss = host_loss_adapter(unitary_loss_func)
+    loss_of = _circuit_loss_of_angles(circuit, host_loss)
+    angles = np.array(circuit.parameters, dtype=float)
+
+    from fractions import Fraction
+
+    def dyadic(a: float) -> Optional[float]:
+        f = Fraction(a / math.pi).limit_denominator(max_denominator)
+        if f.denominator and max_denominator % f.denominator == 0:
+            return math.pi * f.numerator / f.denominator
+        return None
+
+    for _ in range(rounds):
+        snapped = angles.copy()
+        frozen = np.zeros(len(angles), dtype=bool)
+        for i, a in enumerate(angles):
+            v = dyadic(a)
+            if v is not None and abs(a - v) < snap_tol:
+                snapped[i] = v
+                frozen[i] = True
+        polished = polish_angles(loss_of, snapped, frozen=frozen, sweeps=6)
+        if loss_of(polished) < threshold:
+            angles = polished
+        if frozen.all() and loss_of(angles) < threshold:
+            break
+        progressed = False
+        for i in np.flatnonzero(~frozen):
+            if angles[i] == 0.0:
+                continue
+            trial = angles.copy()
+            trial[i] = 0.0
+            if loss_of(trial) < threshold:
+                angles = trial
+                progressed = True
+                continue
+            done = False
+            for j in range(len(angles)):
+                if j == i:
+                    continue
+                for sign in (-1.0, 1.0):
+                    t2 = angles.copy()
+                    t2[j] = angles[j] + sign * angles[i]
+                    t2[i] = 0.0
+                    if loss_of(t2) < threshold:
+                        angles = t2
+                        done = progressed = True
+                        break
+                if done:
+                    break
+        if not progressed:
+            break
+
+    all_dyadic = True
+    final = angles.copy()
+    for i, a in enumerate(angles):
+        v = dyadic(a)
+        if v is not None and abs(a - v) < 1e-9:
+            final[i] = v
+        else:
+            all_dyadic = False
+    qc = circuit.with_rotation_angles([_bracket(a) for a in final])
+    check_loss(qc, host_loss, threshold_loss=threshold)
+    return qc, all_dyadic
+
+
 # --------------------------------------------------------------------------
 # The refine state machine
 # --------------------------------------------------------------------------

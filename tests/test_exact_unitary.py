@@ -135,3 +135,38 @@ def test_controlled_sqrt_x_squares_to_toffoli():
     sq = ex.matmul_exact(c, c)
     t = ex.ExactMatrix.from_int_matrix(ex.toffoli_permutation(n), m=8)
     assert ex.hst_equal_certificate(sq, t)
+
+
+def test_squeeze_to_dyadic_cross_wire_pair():
+    """A planted cross-wire flat pair: rx(theta) on q0 before a SWAP and
+    rx(pi/8 - theta) on q1 after it compose to rx(pi/8) q1 * SWAP for ANY
+    theta. The reference-style same-wire reducer cannot fold these (different
+    wires); squeeze_to_dyadic must drive them onto the dyadic grid."""
+    from cpflow_tpu.circuits.refine import squeeze_to_dyadic
+    from cpflow_tpu.circuits.passes import remove_zero_rgates
+
+    theta = 0.3  # deliberately irrational in units of pi
+    qc = Circuit(2)
+    qc.rx(theta, 0)
+    qc.cx(0, 1)
+    qc.cx(1, 0)
+    qc.cx(0, 1)
+    qc.rx(math.pi / 8 - theta, 1)
+
+    target = qc.unitary()
+    d = target.shape[0]
+    loss = lambda u: float(1 - abs((u * target.conj()).sum()) ** 2 / d ** 2)
+    assert loss(qc.unitary()) < 1e-12
+
+    out, all_dyadic = squeeze_to_dyadic(qc, loss, max_denominator=8)
+    assert all_dyadic
+    out = remove_zero_rgates(out)
+    # exact proof of the squeezed circuit against the exact target circuit
+    tc = Circuit(2)
+    tc.cx(0, 1)
+    tc.cx(1, 0)
+    tc.cx(0, 1)
+    tc.rx(math.pi / 8, 1)  # net effect: RX1(pi/8) * SWAP
+    u = ex.exact_unitary(out, q=8)
+    t = ex.exact_unitary(tc, q=8)
+    assert ex.hst_equal_certificate(u, t)
