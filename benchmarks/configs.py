@@ -200,6 +200,20 @@ def qasm_sweep(num_samples=None, max_evals=None):
 # app 5q): every published row as a resumable, early-stopping adaptive run.
 # --------------------------------------------------------------------------
 
+def clamp_parallel_trials(num_qubits: int, num_samples: int,
+                          parallel_trials: int) -> int:
+    """Keep the effective restart batch (num_samples x parallel_trials)
+    inside the measured safe envelope: the 5q throughput plateau ends at
+    batch 2048 and paper-scale k pushes effective 4096 into the
+    tunnel-worker crash regime (observed on the 2048-sample group-III
+    hunts at parallel_trials=2); 6q tensors hit the crash regime beyond
+    512 (RESULTS_r3 §1, CLAUDE.md performance landscape)."""
+    cap = {5: 2048, 6: 512}.get(num_qubits, 8192)
+    while parallel_trials > 1 and num_samples * parallel_trials > cap:
+        parallel_trials -= 1
+    return parallel_trials
+
+
 def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
                   min_k, max_k, num_samples, max_evals, target_cz,
                   reference_cz, rotation_gates='xyz'):
@@ -222,6 +236,13 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
     # N TPE suggestions per device dispatch (measured 1.68x evals/hour at
     # N=4 on the tab-toff4 workload, RESULTS_r3); default stays sequential
     parallel_trials = int(os.environ.get('CPFLOW_PARALLEL_TRIALS', 1))
+    from cpflow_tpu.topology import num_qubits_from_layer
+    _n = num_qubits_from_layer(layer)
+    clamped = clamp_parallel_trials(_n, num_samples, parallel_trials)
+    if clamped != parallel_trials:
+        print(f'[configs] parallel_trials clamped {parallel_trials} -> '
+              f'{clamped} ({_n}q x {num_samples} samples)', flush=True)
+        parallel_trials = clamped
     t0 = time.time()
     s = Synthesize(layer, target_unitary=target_unitary,
                    unitary_loss_func=loss_spec, label=label)

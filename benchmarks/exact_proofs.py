@@ -184,7 +184,8 @@ def prove_label(label: str) -> dict:
 def main():
     labels = sys.argv[1:] or sorted(
         os.path.basename(p)[:-5]
-        for p in glob.glob(os.path.join(_ART, '*.json')))
+        for p in glob.glob(os.path.join(_ART, '*.json'))
+        if os.path.basename(p) != 'exact_proofs.json')
     ledger_path = os.path.join(_ART, 'exact_proofs.json')
     ledger = {}
     if os.path.exists(ledger_path):

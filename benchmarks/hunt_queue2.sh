@@ -19,9 +19,14 @@ run() { # name total_evals target par timeout_s
   echo "=== exit=$? ===" >> "$LOG"
 }
 
-# Fresh ground first: parity rows with few stored evals and published-1
-# targets, then the deep resumes.
+# Re-runs of the queue-1 entries burned by the stale-queue TPU contention
+# (RESULTS_r3 §16), then fresh ground: parity rows with few stored evals
+# and published-1 targets, then the deep resumes.
 # name                      total  target par timeout
+run qx_aj_e11_165             200  22     2  1800
+run qx_4gt13_91_chain         140  23     2  1800
+run qx_alu_v0_26_chain        120  24     2  1800
+run qx_4mod5_v1_24_chain      120  26     2  1800
 run qx_alu_v3_34               80  13     2  1800
 run qx_alu_v3_35_chain         80  23     2  1800
 run qx_4gt5_76                100  20     2  1800

@@ -91,7 +91,9 @@ def survey_label(label, max_denominator=32):
 
 def main():
     labels = sys.argv[1:] or sorted(
-        os.path.basename(p)[:-5] for p in glob.glob(os.path.join(_ART, '*.json')))
+        os.path.basename(p)[:-5]
+        for p in glob.glob(os.path.join(_ART, '*.json'))
+        if os.path.basename(p) != 'exact_proofs.json')
     for label in labels:
         row = survey_label(label)
         print(json.dumps(row), flush=True)

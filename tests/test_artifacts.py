@@ -15,7 +15,8 @@ _ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     'benchmarks', 'artifacts')
 
 _LABELS = sorted(os.path.basename(p)[:-5]
-                 for p in glob.glob(os.path.join(_ART, '*.json')))
+                 for p in glob.glob(os.path.join(_ART, '*.json'))
+                 if os.path.basename(p) != 'exact_proofs.json')
 
 
 def _loss(meta, u, target):
@@ -55,3 +56,16 @@ def test_artifact_verifies(label):
     # targets are stored complex64; allow f32-storage roundoff on top of
     # the paper's 1e-6 criterion
     assert loss < 1.5e-6, f'{label}: recomputed loss {loss:.3e}'
+
+
+def test_clamp_parallel_trials_safe_envelope():
+    """parallel_trials must never push the effective restart batch past the
+    measured safe envelope (5q crash observed at 2048 samples x 2 trials)."""
+    from benchmarks.configs import clamp_parallel_trials
+
+    assert clamp_parallel_trials(5, 2048, 2) == 1
+    assert clamp_parallel_trials(5, 1024, 2) == 2
+    assert clamp_parallel_trials(5, 1024, 4) == 2
+    assert clamp_parallel_trials(6, 512, 2) == 1
+    assert clamp_parallel_trials(4, 2048, 4) == 4
+    assert clamp_parallel_trials(5, 4096, 3) == 1  # never below 1
