@@ -170,3 +170,26 @@ def test_squeeze_to_dyadic_cross_wire_pair():
     u = ex.exact_unitary(out, q=8)
     t = ex.exact_unitary(tc, q=8)
     assert ex.hst_equal_certificate(u, t)
+
+
+def test_tdepth3_toffoli_golden_proven_exact():
+    """The paper's headline 'possibly a new result' — the T-depth-3, 7-T
+    chain toffoli-3 (CPFlow.tex:60,428) — relied on an external Mathematica
+    check. Its committed golden is machine-PROVEN exact here: the Clifford+T
+    circuit evaluates over Z[zeta_16] and certifies against the toffoli
+    permutation."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'golden', 'tdepth3_toffoli3_chain.json')
+    rows = json.load(open(path))
+    qc = Circuit(3)
+    for r in rows:
+        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+    assert qc.gates_count(['t', 'tdg']) == 7
+    assert qc.gates_depth(['t', 'tdg']) == 3
+
+    u = ex.exact_unitary(qc, q=4)
+    t = ex.ExactMatrix.from_int_matrix(ex.toffoli_permutation(3), m=8)
+    assert ex.hst_equal_certificate(u, t)
