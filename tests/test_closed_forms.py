@@ -1,0 +1,122 @@
+"""Closed-form identification of the 6-CZ relative-phase toffoli-4.
+
+Round-3 discovery (RESULTS_r3 §17): the numerically-synthesized 6-CZ
+relphase toffoli-4 (benchmarks/artifacts/relphase_toff4_connected.json,
+beats the paper's 11-CZ chain row structurally) has an EXACT closed-form
+angle set — every angle is either a rational multiple of pi (denominators
+1,2,3,4) or in the arctan(sqrt 2) family (the Margolus magic angle;
+arctan(1/sqrt 2) = pi/2 - arctan(sqrt 2)).
+
+Verified here at 60 significant digits with mpmath: U * toffoli4 must be
+diagonal with unit-modulus entries (the modulo-diagonal equivalence the
+artifact claims) to 1e-50 — fifty digits beyond f64 noise. A full ring
+proof needs the quadratic extension Z[zeta_48][Y]/(Y^2 - 6(3+sqrt 3))
+(ROADMAP)."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    'benchmarks', 'artifacts')
+
+
+def _reduced_relphase_circuit():
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from benchmarks.rational_survey import artifact_circuit, artifact_loss
+    from cpflow_tpu.circuits.refine import reduce_angles
+    from cpflow_tpu.circuits.passes import remove_zero_rgates
+
+    label = 'relphase_toff4_connected'
+    meta = json.load(open(os.path.join(_ART, f'{label}.json')))
+    targets = np.load(os.path.join(_ART, 'targets.npz'))
+    target = targets[label].astype(np.complex128)
+    qc = artifact_circuit(meta)
+    loss = artifact_loss(meta, target)
+    return remove_zero_rgates(reduce_angles(qc, loss)), target
+
+
+# the closed form, as (kind, value) with value in units of pi or 'magic'
+# family members; order matches the reduced circuit's rotation sequence
+CLOSED_FORM = ['1', '3/4', '-magic', '1/3', '1-magic', '3/4', '1/4', '1',
+               '-magic', '1/3', '1/2-magic', '1/2', '-3/4', '1/2']
+
+
+def _angle(spec, mp):
+    magic = mp.atan(mp.sqrt(2))
+    if spec == '-magic':
+        return -magic
+    if spec == '1-magic':
+        return mp.pi - magic
+    if spec == '1/2-magic':
+        return mp.pi / 2 - magic
+    num, _, den = spec.partition('/')
+    return mp.pi * mp.mpf(int(num)) / mp.mpf(int(den) if den else 1)
+
+
+def test_relphase_toff4_closed_form_60_digits():
+    from mpmath import mp, matrix, cos, sin, mpc, fabs
+
+    mp.dps = 60
+    qc, _ = _reduced_relphase_circuit()
+    rot = [i for i in qc.instructions if i.param is not None]
+    assert len(rot) == len(CLOSED_FORM)
+    # The closed form sits on the same coupled gauge family as the float
+    # reduction: the last three rotations move together (pinning one moves
+    # the others), so individual angles can differ by up to ~0.03*pi while
+    # the clean rationals and the magic pair match to f64 accuracy.
+    for inst, spec in zip(rot, CLOSED_FORM):
+        assert abs(inst.param - float(_angle(spec, mp))) < 0.1, \
+            (inst.param, spec)
+
+    n = qc.num_qubits
+    d = 2 ** n
+    u = matrix(d, d)
+    for i in range(d):
+        u[i, i] = mpc(1)
+    ai = 0
+    for inst in qc.instructions:
+        if inst.param is not None:
+            a = _angle(CLOSED_FORM[ai], mp)
+            ai += 1
+            c, s = cos(a / 2), sin(a / 2)
+            if inst.name == 'rx':
+                g = [[c, -1j * s], [-1j * s, c]]
+            elif inst.name == 'rz':
+                g = [[c - 1j * s, 0], [0, c + 1j * s]]
+            else:
+                raise AssertionError(inst.name)
+            b = 1 << (n - 1 - inst.qubits[0])
+            for col in range(d):
+                for i0 in range(d):
+                    if i0 & b:
+                        continue
+                    i1 = i0 | b
+                    x0, x1 = u[i0, col], u[i1, col]
+                    u[i0, col] = g[0][0] * x0 + g[0][1] * x1
+                    u[i1, col] = g[1][0] * x0 + g[1][1] * x1
+        else:
+            assert inst.name == 'cz'
+            b0 = 1 << (n - 1 - inst.qubits[0])
+            b1 = 1 << (n - 1 - inst.qubits[1])
+            for col in range(d):
+                for i0 in range(d):
+                    if (i0 & b0) and (i0 & b1):
+                        u[i0, col] = -u[i0, col]
+
+    # modulo-diagonal equivalence: (U * T) diagonal, unit-modulus diagonal
+    # toffoli-4 permutation: swaps the last two basis states
+    perm = list(range(d))
+    perm[d - 2], perm[d - 1] = perm[d - 1], perm[d - 2]
+    tol = mp.mpf(10) ** (-50)
+    for i in range(d):
+        for j in range(d):
+            v = u[i, perm[j]]          # (U*T)[i,j] = U[i, perm(j)]
+            if i == j:
+                assert fabs(fabs(v) - 1) < tol, (i, fabs(v))
+            else:
+                assert fabs(v) < tol, (i, j, fabs(v))
