@@ -7,11 +7,10 @@ angle set — every angle is either a rational multiple of pi (denominators
 1,2,3,4) or in the arctan(sqrt 2) family (the Margolus magic angle;
 arctan(1/sqrt 2) = pi/2 - arctan(sqrt 2)).
 
-Verified here at 60 significant digits with mpmath: U * toffoli4 must be
-diagonal with unit-modulus entries (the modulo-diagonal equivalence the
-artifact claims) to 1e-50 — fifty digits beyond f64 noise. A full ring
-proof needs the quadratic extension Z[zeta_48][Y]/(Y^2 - 6(3+sqrt 3))
-(ROADMAP)."""
+Two tiers: a 60-digit mpmath verification (U * toffoli4 diagonal with
+unit-modulus entries to 1e-50), and the FULL symbolic proof over the
+quadratic extension Z[zeta_48][Y]/(Y^2 - 6(3+sqrt 3)) — exact integer
+arithmetic end to end (benchmarks/exact_relphase_proof.py)."""
 
 import json
 import math
@@ -120,3 +119,15 @@ def test_relphase_toff4_closed_form_60_digits():
                 assert fabs(fabs(v) - 1) < tol, (i, fabs(v))
             else:
                 assert fabs(v) < tol, (i, j, fabs(v))
+
+
+def test_relphase_toff4_ring_proof():
+    """Full symbolic proof over the quadratic extension
+    Z[zeta_48][Y]/(Y^2 - 6(3+sqrt 3)) — exact integer arithmetic end to
+    end, no floats: the 6-CZ relative-phase toffoli-4 closed form
+    implements toffoli-4 up to relative phases, PROVEN."""
+    from benchmarks.exact_relphase_proof import prove
+
+    result = prove()
+    assert result['proven']
+    assert result['cz_count'] == 6
