@@ -1,0 +1,389 @@
+"""Closed-form identification of relative-phase decomposition angles.
+
+The relphase rows sit on continuous modulo-diagonal gauge families where
+first-order polish stalls around 5e-8 — too coarse for integer-relation
+detection. The recipe measured on the connected 6-CZ row (ROADMAP,
+RESULTS_r3 §17):
+
+1. Gauss-Newton on the modulo-diagonal RESIDUAL VECTOR (all off-diagonal
+   entries of A = (U @ T)^dagger, whose squared norm / d is the loss when
+   every wire participates) converges to ~2e-15 in ~10 iterations.
+2. Identify each converged angle against the closed-form families seen in
+   these circuits: pi-rationals p/q and the Margolus magic family
+   r*pi +- arctan(sqrt 2).
+3. Angles that resist identification are GAUGE-dependent (the residual
+   Jacobian is rank-deficient): pin the identified ones to their exact
+   values, re-run GN on the rest, and repeat — each pinning collapses
+   part of the gauge family onto representable values.
+4. Verify the fully-identified form with mpmath at 50 significant digits.
+
+Paper context: the reference verified exactness externally in Mathematica
+(CPFlow.tex:430); here identification + verification are in-repo, and the
+verified forms feed the symbolic ring proofs (exact_relphase_proof.py).
+
+Usage: python -m benchmarks.closed_form_search [label]   (host CPU)
+"""
+
+import json
+import math
+import os
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import jax.numpy as jnp  # noqa: E402
+
+_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'artifacts')
+MAGIC = math.atan(math.sqrt(2.0))
+
+
+def reduced_artifact(label):
+    """Artifact -> greedy-reduced rz/rx/cz circuit + target (f64 host)."""
+    from benchmarks.rational_survey import artifact_circuit, artifact_loss
+    from cpflow_tpu.circuits.refine import reduce_angles
+    from cpflow_tpu.circuits.passes import remove_zero_rgates
+
+    meta = json.load(open(os.path.join(_ART, f'{label}.json')))
+    target = np.load(os.path.join(_ART, 'targets.npz'))[label].astype(
+        np.complex128)
+    qc = artifact_circuit(meta)
+    loss = artifact_loss(meta, target)
+    qc = remove_zero_rgates(reduce_angles(qc, loss))
+    return qc, meta, target
+
+
+def _gate_plan(qc):
+    """Static instruction plan: ('rz'|'rx', wire, param_index) or
+    ('cz', (q0, q1), None) — with_rotation_angles order."""
+    plan, k = [], 0
+    for inst in qc.instructions:
+        if inst.param is not None:
+            plan.append((inst.name, inst.qubits[0], k))
+            k += 1
+        else:
+            assert inst.name == 'cz', inst.name
+            plan.append(('cz', inst.qubits, None))
+    return plan, k
+
+
+def residual_fn(qc, target):
+    """params -> real residual vector r with loss == sum(r^2)/d.
+
+    Valid for the all-wires modulo-diagonal loss: with A = (U @ T)^H
+    unitary, 1 - sum_i |A_ii|^2/d == sum_{i!=j} |A_ij|^2/d exactly.
+    """
+    plan, n_par = _gate_plan(qc)
+    n = qc.num_qubits
+    d = 2 ** n
+    off = np.nonzero(~np.eye(d, dtype=bool).ravel())[0]
+
+    def build(params):
+        u = jnp.eye(d, dtype=jnp.complex128)
+        for name, q, k in plan:
+            if name == 'cz':
+                b0 = 1 << (n - 1 - q[0])
+                b1 = 1 << (n - 1 - q[1])
+                idx = np.arange(d)
+                sign = np.where((idx & b0).astype(bool)
+                                & (idx & b1).astype(bool), -1.0, 1.0)
+                u = sign[:, None] * u
+            else:
+                half = params[k] / 2
+                b = 1 << (n - 1 - q)
+                idx = np.arange(d)
+                i0 = idx[(idx & b) == 0]
+                i1 = i0 | b
+                r0, r1 = u[i0], u[i1]
+                c = jnp.cos(half)
+                if name == 'rx':
+                    s = -1j * jnp.sin(half)
+                    u = u.at[i0].set(c * r0 + s * r1)
+                    u = u.at[i1].set(s * r0 + c * r1)
+                else:  # rz
+                    e0 = c - 1j * jnp.sin(half)
+                    u = u.at[i0].set(e0 * r0)
+                    u = u.at[i1].set(jnp.conj(e0) * r1)
+        return u
+
+    def resid(params):
+        a = (build(params) @ jnp.asarray(target)).conj().T
+        r = a.ravel()[off]
+        return jnp.concatenate([jnp.real(r), jnp.imag(r)])
+
+    return resid, n_par, d
+
+
+def gauss_newton(resid, params, free_idx, iters=20, verbose=False):
+    """Levenberg-damped Gauss-Newton restricted to free_idx coordinates."""
+    params = np.array(params, dtype=float)
+    jac = jax.jit(jax.jacfwd(resid))
+    rf = jax.jit(resid)
+    lam = 1e-12
+    for it in range(iters):
+        r = np.asarray(rf(jnp.asarray(params)))
+        j = np.asarray(jac(jnp.asarray(params)))[:, free_idx]
+        # damped least squares step
+        jtj = j.T @ j + lam * np.eye(len(free_idx))
+        step = np.linalg.solve(jtj, j.T @ r)
+        params[free_idx] -= step
+        if verbose:
+            print(f'  gn it={it} loss={float(np.sum(r ** 2)):.3e}',
+                  flush=True)
+        if np.sum(r ** 2) < 1e-28:
+            break
+    r = np.asarray(rf(jnp.asarray(params)))
+    return params, float(np.sum(r ** 2))
+
+
+# ---------------------------------------------------------------------------
+# identification
+# ---------------------------------------------------------------------------
+
+def identify(angle, tol=1e-9, max_den=48):
+    """Match one angle against pi*p/q (q<=max_den) or r*pi +- arctan sqrt2
+    (r dyadic, |r|<=2). Returns a spec string ('3/4', '1-magic', ...) or
+    None. Specs follow exact_relphase_proof.CLOSED_FORM conventions."""
+    a = float(angle)
+    fr = Fraction(a / math.pi).limit_denominator(max_den)
+    if abs(a - math.pi * fr) < tol:
+        return f'{fr.numerator}/{fr.denominator}' if fr.denominator != 1 \
+            else f'{fr.numerator}'
+    for sign, tag in ((1, '+magic'), (-1, '-magic')):
+        r = Fraction((a - sign * MAGIC) / math.pi).limit_denominator(16)
+        if r.denominator <= 16 and abs(a - (math.pi * r + sign * MAGIC)) < tol:
+            if r == 0:
+                return tag if sign > 0 else '-magic'
+            rs = (f'{r.numerator}/{r.denominator}' if r.denominator != 1
+                  else f'{r.numerator}')
+            return f'{rs}{tag}'
+    return None
+
+
+def spec_value(spec):
+    """Float value of an identify() spec."""
+    s = spec.replace(' ', '')
+    if s == '+magic' or s == 'magic':
+        return MAGIC
+    if s == '-magic':
+        return -MAGIC
+    for tag, sign in (('+magic', 1), ('-magic', -1)):
+        if s.endswith(tag):
+            head = s[:-len(tag)]
+            num, _, den = head.partition('/')
+            return math.pi * int(num) / (int(den) if den else 1) + sign * MAGIC
+    num, _, den = s.partition('/')
+    return math.pi * int(num) / (int(den) if den else 1)
+
+
+def mp_spec_value(spec, mp):
+    s = spec.replace(' ', '')
+    magic = mp.atan(mp.sqrt(2))
+    if s in ('+magic', 'magic'):
+        return magic
+    if s == '-magic':
+        return -magic
+    for tag, sign in (('+magic', 1), ('-magic', -1)):
+        if s.endswith(tag):
+            head = s[:-len(tag)]
+            num, _, den = head.partition('/')
+            return (mp.pi * int(num) / (int(den) if den else 1)
+                    + sign * magic)
+    num, _, den = s.partition('/')
+    return mp.pi * int(num) / (int(den) if den else 1)
+
+
+def mp_verify(qc, specs, meta, dps=60):
+    """Rebuild the circuit unitary in mpmath at `dps` digits from the spec
+    list and return the modulo-diagonal loss (float of an mpf)."""
+    from mpmath import mp
+    mp.dps = dps
+    n = qc.num_qubits
+    d = 2 ** n
+    plan, n_par = _gate_plan(qc)
+    assert len(specs) == n_par
+
+    target = np.load(os.path.join(_ART, 'targets.npz'))[meta['label']]
+    tmp = mp.matrix(d, d)
+    for i in range(d):
+        for j in range(d):
+            tmp[i, j] = mp.mpc(complex(target[i, j]))
+
+    u = mp.eye(d)
+    for name, q, k in plan:
+        if name == 'cz':
+            b0 = 1 << (n - 1 - q[0])
+            b1 = 1 << (n - 1 - q[1])
+            for i in range(d):
+                if (i & b0) and (i & b1):
+                    for j in range(d):
+                        u[i, j] = -u[i, j]
+        else:
+            half = mp_spec_value(specs[k], mp) / 2
+            c, s = mp.cos(half), mp.sin(half)
+            b = 1 << (n - 1 - q)
+            for i0 in range(d):
+                if i0 & b:
+                    continue
+                i1 = i0 | b
+                for j in range(d):
+                    r0, r1 = u[i0, j], u[i1, j]
+                    if name == 'rx':
+                        u[i0, j] = c * r0 - 1j * s * r1
+                        u[i1, j] = -1j * s * r0 + c * r1
+                    else:
+                        u[i0, j] = (c - 1j * s) * r0
+                        u[i1, j] = (c + 1j * s) * r1
+    a = (u * tmp).transpose_conj()
+    tot = mp.mpf(0)
+    for i in range(d):
+        for j in range(d):
+            if i != j:
+                tot += abs(a[i, j]) ** 2
+    return tot / d
+
+
+def hypotheses(angle, loose_tol=0.08, max_den=12):
+    """Candidate family values near `angle`, closest first — gauge-family
+    members drift O(1e-2..1e-4) off their exact values, so the nearest
+    representable value is the natural pin hypothesis."""
+    a = float(angle)
+    cands = []
+    fr = Fraction(a / math.pi).limit_denominator(max_den)
+    v = math.pi * fr
+    if abs(a - v) < loose_tol:
+        s = (f'{fr.numerator}/{fr.denominator}' if fr.denominator != 1
+             else f'{fr.numerator}')
+        cands.append((abs(a - v), s))
+    for sign, tag in ((1, '+magic'), (-1, '-magic')):
+        r = Fraction((a - sign * MAGIC) / math.pi).limit_denominator(8)
+        v = math.pi * r + sign * MAGIC
+        if abs(a - v) < loose_tol:
+            if r == 0:
+                s = 'magic' if sign > 0 else '-magic'
+            else:
+                rs = (f'{r.numerator}/{r.denominator}'
+                      if r.denominator != 1 else f'{r.numerator}')
+                s = f'{rs}{tag}'
+            cands.append((abs(a - v), s))
+    cands.sort()
+    return [s for _, s in cands]
+
+
+def gauge_resolve(resid, d, params, specs, gn_iters=25, accept=1e-24,
+                  verbose=True, budget=200):
+    """Pin-and-reconverge over a continuous gauge family: pin the nearest
+    family hypothesis for one free angle, Gauss-Newton the rest, keep the
+    pin iff the residual returns below `accept` (measured discovery path
+    of the connected row's coupled triple, RESULTS_r3 §17). Gauge families
+    can be multi-dimensional, and a valid pin can still strand the
+    REMAINING angles off every representable value (seen on the connected
+    row: a11=pi/6+magic re-converges to zero loss but dead-ends a10/a12,
+    while a12=-3pi/4 resolves all three) — so this is a depth-first
+    search with backtracking, bounded by `budget` GN solves."""
+    spent = [0]
+
+    def dfs(params, specs):
+        if None not in specs:
+            return params, specs
+        free = [i for i in range(len(specs)) if specs[i] is None]
+        ranked = []
+        for i in free:
+            for h in hypotheses(params[i]):
+                ranked.append((abs(params[i] - spec_value(h)), i, h))
+        ranked.sort()
+        for dist, i, h in ranked:
+            if spent[0] >= budget:
+                return None
+            spent[0] += 1
+            trial = params.copy()
+            trial[i] = spec_value(h)
+            rest = [j for j in free if j != i]
+            if rest:
+                trial, loss = gauss_newton(resid, trial, rest,
+                                           iters=gn_iters)
+            else:
+                r = np.asarray(jax.jit(resid)(jnp.asarray(trial)))
+                loss = float(np.sum(r ** 2))
+            if loss / d >= accept:
+                continue
+            child = list(specs)
+            child[i] = h
+            for j in rest:
+                s = identify(trial[j])
+                if s is not None:
+                    child[j] = s
+                    trial[j] = spec_value(s)
+            if verbose:
+                done = len(child) - child.count(None)
+                print(f'  pin a{i}={h} (off {dist:.1e}) -> '
+                      f'{done}/{len(child)} loss={loss / d:.3e}',
+                      flush=True)
+            res = dfs(trial, child)
+            if res is not None:
+                return res
+            if verbose:
+                print(f'  backtrack a{i}={h}', flush=True)
+        return None
+
+    res = dfs(params, specs)
+    return res if res is not None else (params, specs)
+
+
+# ---------------------------------------------------------------------------
+# the pin-and-reconverge driver
+# ---------------------------------------------------------------------------
+
+def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
+    """Iteratively identify/pin/reconverge. Returns dict with specs
+    (None where unidentified) and the final losses."""
+    qc, meta, target = reduced_artifact(label)
+    meta['label'] = label
+    resid, n_par, d = residual_fn(qc, target)
+    params = np.array(qc.parameters, dtype=float)
+    specs = [None] * n_par
+
+    for rnd in range(rounds):
+        free = [i for i in range(n_par) if specs[i] is None]
+        if not free:
+            break
+        params, loss = gauss_newton(resid, params, free, iters=gn_iters)
+        if verbose:
+            print(f'round {rnd}: loss={loss / d:.3e} free={len(free)}',
+                  flush=True)
+        newly = 0
+        for i in free:
+            s = identify(params[i], tol=id_tol)
+            if s is not None:
+                specs[i] = s
+                params[i] = spec_value(s)
+                newly += 1
+        if verbose:
+            print(f'  identified {newly} '
+                  f'({n_par - specs.count(None)}/{n_par} total)', flush=True)
+        if newly == 0:
+            break
+
+    if None in specs:
+        params, specs = gauge_resolve(resid, d, params, specs,
+                                      gn_iters=gn_iters, verbose=verbose)
+
+    out = {'label': label, 'n_angles': n_par, 'specs': specs,
+           'unidentified': [i for i in range(n_par) if specs[i] is None],
+           'residual_params': params.tolist(),
+           'f64_loss': None, 'mp_loss_50dig': None}
+    r = np.asarray(jax.jit(resid)(jnp.asarray(params)))
+    out['f64_loss'] = float(np.sum(r ** 2)) / d
+    if not out['unidentified']:
+        out['mp_loss_50dig'] = float(mp_verify(qc, specs, meta))
+    return out
+
+
+if __name__ == '__main__':
+    lbl = sys.argv[1] if len(sys.argv) > 1 else 'relphase_toff4_chain'
+    res = search(lbl)
+    print(json.dumps(res))
