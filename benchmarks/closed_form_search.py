@@ -118,11 +118,17 @@ def residual_fn(qc, target):
     return resid, n_par, d
 
 
-def gauss_newton(resid, params, free_idx, iters=20, verbose=False):
-    """Levenberg-damped Gauss-Newton restricted to free_idx coordinates."""
+def compile_resid(resid):
+    """Jit the residual and its Jacobian ONCE per search: every gauge-DFS
+    node re-solves GN, and per-node jax.jit would recompile each time."""
+    return jax.jit(resid), jax.jit(jax.jacfwd(resid))
+
+
+def gauss_newton(fns, params, free_idx, iters=20, verbose=False):
+    """Levenberg-damped Gauss-Newton restricted to free_idx coordinates.
+    `fns` is the (residual, jacobian) pair from compile_resid."""
+    rf, jac = fns
     params = np.array(params, dtype=float)
-    jac = jax.jit(jax.jacfwd(resid))
-    rf = jax.jit(resid)
     lam = 1e-12
     for it in range(iters):
         r = np.asarray(rf(jnp.asarray(params)))
@@ -253,28 +259,36 @@ def hypotheses(angle, loose_tol=0.08, max_den=12):
     representable value is the natural pin hypothesis."""
     a = float(angle)
     cands = []
-    fr = Fraction(a / math.pi).limit_denominator(max_den)
-    v = math.pi * fr
-    if abs(a - v) < loose_tol:
-        s = (f'{fr.numerator}/{fr.denominator}' if fr.denominator != 1
-             else f'{fr.numerator}')
-        cands.append((abs(a - v), s))
+    # rank by distance with a denominator penalty: on a multi-dimensional
+    # gauge family many rationals pass within loose_tol, but the closed
+    # forms seen in these circuits use dyadics/thirds + the magic family —
+    # prefer those over den-5/7/11 coincidences at similar distance.
+    for den in range(1, max_den + 1):
+        fr = Fraction(round(a / math.pi * den), den)
+        v = math.pi * fr
+        if abs(a - v) < loose_tol and fr.denominator == den:
+            s = (f'{fr.numerator}/{fr.denominator}' if den != 1
+                 else f'{fr.numerator}')
+            cands.append((abs(a - v) * (1 + den / 4), abs(a - v), s))
     for sign, tag in ((1, '+magic'), (-1, '-magic')):
-        r = Fraction((a - sign * MAGIC) / math.pi).limit_denominator(8)
-        v = math.pi * r + sign * MAGIC
-        if abs(a - v) < loose_tol:
-            if r == 0:
-                s = 'magic' if sign > 0 else '-magic'
-            else:
-                rs = (f'{r.numerator}/{r.denominator}'
-                      if r.denominator != 1 else f'{r.numerator}')
-                s = f'{rs}{tag}'
-            cands.append((abs(a - v), s))
+        for den in range(1, 9):
+            r = Fraction(round((a - sign * MAGIC) / math.pi * den), den)
+            if r.denominator != den and not (r == 0 and den == 1):
+                continue
+            v = math.pi * r + sign * MAGIC
+            if abs(a - v) < loose_tol:
+                if r == 0:
+                    s = 'magic' if sign > 0 else '-magic'
+                else:
+                    rs = (f'{r.numerator}/{r.denominator}'
+                          if r.denominator != 1 else f'{r.numerator}')
+                    s = f'{rs}{tag}'
+                cands.append((abs(a - v) * (1 + den / 4), abs(a - v), s))
     cands.sort()
-    return [s for _, s in cands]
+    return cands  # (rank_key, distance, spec), best first
 
 
-def gauge_resolve(resid, d, params, specs, gn_iters=25, accept=1e-24,
+def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
                   verbose=True, budget=200):
     """Pin-and-reconverge over a continuous gauge family: pin the nearest
     family hypothesis for one free angle, Gauss-Newton the rest, keep the
@@ -293,10 +307,10 @@ def gauge_resolve(resid, d, params, specs, gn_iters=25, accept=1e-24,
         free = [i for i in range(len(specs)) if specs[i] is None]
         ranked = []
         for i in free:
-            for h in hypotheses(params[i]):
-                ranked.append((abs(params[i] - spec_value(h)), i, h))
+            for key, dist, h in hypotheses(params[i]):
+                ranked.append((key, dist, i, h))
         ranked.sort()
-        for dist, i, h in ranked:
+        for _, dist, i, h in ranked:
             if spent[0] >= budget:
                 return None
             spent[0] += 1
@@ -304,10 +318,10 @@ def gauge_resolve(resid, d, params, specs, gn_iters=25, accept=1e-24,
             trial[i] = spec_value(h)
             rest = [j for j in free if j != i]
             if rest:
-                trial, loss = gauss_newton(resid, trial, rest,
+                trial, loss = gauss_newton(fns, trial, rest,
                                            iters=gn_iters)
             else:
-                r = np.asarray(jax.jit(resid)(jnp.asarray(trial)))
+                r = np.asarray(fns[0](jnp.asarray(trial)))
                 loss = float(np.sum(r ** 2))
             if loss / d >= accept:
                 continue
@@ -344,6 +358,7 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
     qc, meta, target = reduced_artifact(label)
     meta['label'] = label
     resid, n_par, d = residual_fn(qc, target)
+    fns = compile_resid(resid)
     params = np.array(qc.parameters, dtype=float)
     specs = [None] * n_par
 
@@ -351,7 +366,7 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
         free = [i for i in range(n_par) if specs[i] is None]
         if not free:
             break
-        params, loss = gauss_newton(resid, params, free, iters=gn_iters)
+        params, loss = gauss_newton(fns, params, free, iters=gn_iters)
         if verbose:
             print(f'round {rnd}: loss={loss / d:.3e} free={len(free)}',
                   flush=True)
@@ -369,14 +384,14 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
             break
 
     if None in specs:
-        params, specs = gauge_resolve(resid, d, params, specs,
+        params, specs = gauge_resolve(fns, d, params, specs,
                                       gn_iters=gn_iters, verbose=verbose)
 
     out = {'label': label, 'n_angles': n_par, 'specs': specs,
            'unidentified': [i for i in range(n_par) if specs[i] is None],
            'residual_params': params.tolist(),
            'f64_loss': None, 'mp_loss_50dig': None}
-    r = np.asarray(jax.jit(resid)(jnp.asarray(params)))
+    r = np.asarray(fns[0](jnp.asarray(params)))
     out['f64_loss'] = float(np.sum(r ** 2)) / d
     if not out['unidentified']:
         out['mp_loss_50dig'] = float(mp_verify(qc, specs, meta))

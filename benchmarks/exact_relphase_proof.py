@@ -175,45 +175,64 @@ C_MAGIC = q(v=_unit(), den=6)
 S_MAGIC = q(v=_vmul(_vmul(SQRT2, SQRT3),
                     _vsub(_vscale(_unit(), 3), SQRT3)), den=36)
 
-# the closed form (RESULTS_r3 §17), in rotation order of the reduced circuit
-CLOSED_FORM = ['1', '3/4', '-magic', '1/3', '1-magic', '3/4', '1/4', '1',
-               '-magic', '1/3', '1/2-magic', '1/2', '-3/4', '1/2']
+# the closed forms (RESULTS_r3 §17), in rotation order of each label's
+# greedy-reduced circuit; every half-angle lands in R (pi-rational parts
+# have 12*r integral, i.e. r*pi/2 on the zeta_48 grid)
+CLOSED_FORMS = {
+    'relphase_toff4_connected':
+        ['1', '3/4', '-magic', '1/3', '1-magic', '3/4', '1/4', '1',
+         '-magic', '1/3', '1/2-magic', '1/2', '-3/4', '1/2'],
+    # the paper's own 11-CZ chain row (CPFlow.tex tab toff4), identified by
+    # benchmarks/closed_form_search.py: dyadics/thirds + the magic family
+    'relphase_toff4_chain':
+        ['1/2', '1-magic', '1/2', '1', '1/2', '1', '-1/6', '1/2', '1/2',
+         '-2/3', '1/2', '-1/6', '+magic', '-3/4', '1/4', '-1/2', '3/4',
+         '1', '1/2', '1/2', '1', '1/2', '-1/2', '1/2', '1/4', '1/2', '1',
+         '1/2', '-1/2', '1/2', '-3/4', '1/2'],
+}
+CLOSED_FORM = CLOSED_FORMS['relphase_toff4_connected']  # back-compat
+
+
+def parse_spec(spec):
+    """'r', 'r+magic', 'r-magic', '(+|-)magic' -> (Fraction r, sign)."""
+    from fractions import Fraction
+    s = spec.strip()
+    if s in ('magic', '+magic'):
+        return Fraction(0), 1
+    if s == '-magic':
+        return Fraction(0), -1
+    for tag, sg in (('+magic', 1), ('-magic', -1)):
+        if s.endswith(tag):
+            return Fraction(s[:-len(tag)]), sg
+    return Fraction(s), 0
 
 
 def closed_form_value(spec):
-    magic = math.atan(math.sqrt(2))
-    if spec == '-magic':
-        return -magic
-    if spec == '1-magic':
-        return math.pi - magic
-    if spec == '1/2-magic':
-        return math.pi / 2 - magic
-    num, _, den = spec.partition('/')
-    return math.pi * int(num) / (int(den) if den else 1)
+    r, sg = parse_spec(spec)
+    return math.pi * float(r) + sg * math.atan(math.sqrt(2))
 
 
 def half_trig(spec):
-    """Exact (cos(a/2), sin(a/2)) in R for a closed-form angle symbol."""
-    if spec == '-magic':
-        return C_MAGIC, qneg(S_MAGIC)
-    if spec == '1-magic':        # cos((pi-am)/2) = sin(am/2) and vice versa
-        return S_MAGIC, C_MAGIC
-    if spec == '1/2-magic':      # pi/4 - am/2 angle-subtraction formulas
-        half_sqrt2 = q(u=SQRT2, den=2)
-        return (qmul(half_sqrt2, qadd(C_MAGIC, S_MAGIC)),
-                qmul(half_sqrt2, qadd(C_MAGIC, qneg(S_MAGIC))))
-    num, _, den = spec.partition('/')
-    p_num, p_den = int(num), int(den) if den else 1
-    k2 = 12 * p_num
-    assert k2 % p_den == 0, spec
-    k = k2 // p_den              # a/2 = k*pi/24, e^{i a/2} = zeta^k
-    cosv = q(u=_vadd(_zpow(k), _zpow(-k)), den=2)
+    """Exact (cos(a/2), sin(a/2)) in R for a = r*pi + sign*magic: the
+    rational part sits on the zeta_48 grid (r*pi/2 = k*pi/24) and the
+    magic part enters through the angle-addition formulas with
+    (C_MAGIC, S_MAGIC)."""
+    r, sg = parse_spec(spec)
+    k2 = 12 * r.numerator
+    assert k2 % r.denominator == 0, spec
+    k = k2 // r.denominator      # r*pi/2 = k*pi/24, e^{i r pi/2} = zeta^k
+    cr = q(u=_vadd(_zpow(k), _zpow(-k)), den=2)
     # sin t = (zeta^k - zeta^-k)/(2i), 1/i = zeta^{-12}
-    sinv = q(u=_vmul(_vsub(_zpow(k), _zpow(-k)), _zpow(-12)), den=2)
-    return cosv, sinv
+    sr = q(u=_vmul(_vsub(_zpow(k), _zpow(-k)), _zpow(-12)), den=2)
+    if sg == 0:
+        return cr, sr
+    sm = S_MAGIC if sg > 0 else qneg(S_MAGIC)
+    cosv = qadd(qmul(cr, C_MAGIC), qneg(qmul(sr, sm)))
+    sinv = qadd(qmul(sr, C_MAGIC), qmul(cr, sm))
+    return qreduce(cosv), qreduce(sinv)
 
 
-def reduced_relphase_circuit():
+def reduced_relphase_circuit(label='relphase_toff4_connected'):
     import jax
     jax.config.update('jax_platforms', 'cpu')
     from benchmarks.rational_survey import artifact_circuit, artifact_loss
@@ -222,21 +241,22 @@ def reduced_relphase_circuit():
 
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'artifacts')
-    meta = json.load(open(os.path.join(art,
-                                       'relphase_toff4_connected.json')))
+    meta = json.load(open(os.path.join(art, f'{label}.json')))
     target = np.load(os.path.join(art, 'targets.npz')
-                     )['relphase_toff4_connected'].astype(np.complex128)
+                     )[label].astype(np.complex128)
     qc = artifact_circuit(meta)
     loss = artifact_loss(meta, target)
     return remove_zero_rgates(reduce_angles(qc, loss)), meta, target
 
 
-def prove():
-    """Build the closed-form unitary exactly in R and certify U x toffoli4
-    is diagonal with unit-modulus entries. Returns a result dict."""
-    qc, meta, target = reduced_relphase_circuit()
+def prove(label='relphase_toff4_connected'):
+    """Build the closed-form unitary exactly in R and certify U x target
+    (a multi-controlled-X permutation) is diagonal with unit-modulus
+    entries. Returns a result dict."""
+    closed_form = CLOSED_FORMS[label]
+    qc, meta, target = reduced_relphase_circuit(label)
     rot = [i for i in qc.instructions if i.param is not None]
-    assert len(rot) == len(CLOSED_FORM)
+    assert len(rot) == len(closed_form)
 
     n = qc.num_qubits
     d = 2 ** n
@@ -246,7 +266,7 @@ def prove():
     ai = 0
     for inst in qc.instructions:
         if inst.param is not None:
-            cq, sq = half_trig(CLOSED_FORM[ai])
+            cq, sq = half_trig(closed_form[ai])
             ai += 1
             mis = qmul(mi, sq)
             if inst.name == 'rx':
@@ -288,12 +308,13 @@ def prove():
             elif not qis_zero_true(v):
                 proven = False
 
-    return {'label': 'relphase_toff4_connected (closed form)',
+    return {'label': f'{label} (closed form)',
             'cz_count': qc.gates_count(['cz']),
             'ring': 'Z[zeta_48][Y]/(Y^2 - 6(3+sqrt3))',
-            'closed_form': CLOSED_FORM,
+            'closed_form': closed_form,
             'proven': bool(proven)}
 
 
 if __name__ == '__main__':
-    print(json.dumps(prove()))
+    for lbl in CLOSED_FORMS:
+        print(json.dumps(prove(lbl)), flush=True)

@@ -131,3 +131,48 @@ def test_relphase_toff4_ring_proof():
     result = prove()
     assert result['proven']
     assert result['cz_count'] == 6
+
+
+def test_relphase_toff4_chain_ring_proof():
+    """The paper's own 11-CZ chain relphase toffoli-4 row (CPFlow.tex tab
+    toff4) also has a closed form — dyadics/thirds plus the magic family,
+    identified by benchmarks/closed_form_search.py — proven symbolically
+    over the same quadratic ring."""
+    from benchmarks.exact_relphase_proof import prove
+
+    result = prove('relphase_toff4_chain')
+    assert result['proven']
+    assert result['cz_count'] == 11
+
+
+def test_relphase_toff4_chain_closed_form_60_digits():
+    from benchmarks.closed_form_search import reduced_artifact, mp_verify
+    from benchmarks.exact_relphase_proof import CLOSED_FORMS
+
+    label = 'relphase_toff4_chain'
+    qc, meta, _ = reduced_artifact(label)
+    meta['label'] = label
+    loss = mp_verify(qc, CLOSED_FORMS[label], meta)
+    assert loss < 1e-100, loss
+
+
+def test_spec_languages_agree():
+    """closed_form_search emits specs in the same language the ring proofs
+    consume: float values must agree on every registry entry."""
+    from benchmarks.closed_form_search import spec_value
+    from benchmarks.exact_relphase_proof import (CLOSED_FORMS,
+                                                 closed_form_value)
+
+    for specs in CLOSED_FORMS.values():
+        for s in specs:
+            assert abs(spec_value(s) - closed_form_value(s)) < 1e-15, s
+
+
+def test_identify_round_trips():
+    from benchmarks.closed_form_search import identify, spec_value
+
+    for s in ['1', '-3/4', '1/3', '-magic', '1-magic', '1/2-magic',
+              '1/6+magic', '-2/3', '1/4']:
+        got = identify(spec_value(s))
+        assert got is not None and abs(
+            spec_value(got) - spec_value(s)) < 1e-12, (s, got)
