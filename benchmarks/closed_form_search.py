@@ -147,6 +147,123 @@ def gauss_newton(fns, params, free_idx, iters=20, verbose=False):
 
 
 # ---------------------------------------------------------------------------
+# tie constraints: theta_i = sign * x_g + k2 * pi/2 within a group
+# ---------------------------------------------------------------------------
+# High-dimensional gauge families (relphase toffoli-5: ~22 free of 34)
+# defeat value-pinning DFS, but their converged points expose RELATIONS —
+# repeated, negated, and pi/2-shifted angles. Accepting a relation removes
+# one gauge dimension WITHOUT committing a value, and the family shrinks
+# until value hypotheses become decidable.
+
+def _theta(params, groups, x):
+    th = params.copy()
+    for g, members in enumerate(groups):
+        for i, s, k2 in members:
+            th[i] = s * x[g] + k2 * (math.pi / 2)
+    return th
+
+
+def _group_x(params, groups):
+    return np.array([params[g[0][0]] for g in groups])  # rep is (i, 1, 0)
+
+
+def gauss_newton_groups(fns, params, groups, iters=20):
+    """GN over one variable per group; returns (theta, loss)."""
+    rf, jac = fns
+    x = _group_x(params, groups)
+    lam = 1e-12
+    th = _theta(params, groups, x)
+    for _ in range(iters):
+        r = np.asarray(rf(jnp.asarray(th)))
+        if np.sum(r ** 2) < 1e-28:
+            break
+        j = np.asarray(jac(jnp.asarray(th)))
+        jx = np.zeros((len(r), len(groups)))
+        for g, members in enumerate(groups):
+            for i, s, _ in members:
+                jx[:, g] += s * j[:, i]
+        jtj = jx.T @ jx + lam * np.eye(len(groups))
+        x -= np.linalg.solve(jtj, jx.T @ r)
+        th = _theta(params, groups, x)
+    r = np.asarray(rf(jnp.asarray(th)))
+    return th, float(np.sum(r ** 2))
+
+
+def _merge(groups, gi, hi, s, k2):
+    """Tie group hi to gi: x_h = s * x_g + k2 * pi/2."""
+    out = [list(g) for g in groups]
+    out[gi].extend((i, si * s, si * k2 + k2i) for i, si, k2i in out[hi])
+    del out[hi]
+    return out
+
+
+def try_ties(fns, d, params, groups, accept=1e-24, gn_iters=25,
+             loose_tol=1e-6, verbose=True):
+    """Greedily accept pairwise relations x_h = +-x_g + k*pi/2 that the
+    residual confirms (loss returns below `accept` after constrained GN),
+    closest-first. loose_tol is deliberately TIGHT: a relation that holds
+    to ~1e-15 at a GN-converged point is structural (GN from a generic
+    start does not land equalities by chance), while accepting merely
+    nearby relations (tol 0.05) was measured to strand the chain row's
+    family away from every representable point — ties have no backtracking
+    of their own, so only near-exact ones are safe to commit greedily."""
+    while len(groups) > 1:
+        vals = _group_x(params, groups)
+        cands = []
+        for gi in range(len(groups)):
+            for hi in range(gi + 1, len(groups)):
+                for s in (1, -1):
+                    k2f = (vals[hi] - s * vals[gi]) / (math.pi / 2)
+                    k2 = round(k2f)
+                    dist = abs(vals[hi] - (s * vals[gi]
+                                           + k2 * (math.pi / 2)))
+                    if dist < loose_tol and abs(k2) <= 4:
+                        cands.append((dist, gi, hi, s, k2))
+        cands.sort()
+        committed = False
+        for dist, gi, hi, s, k2 in cands:
+            trial = _merge(groups, gi, hi, s, k2)
+            th, loss = gauss_newton_groups(fns, params, trial,
+                                           iters=gn_iters)
+            if loss / d < accept:
+                if verbose:
+                    ri, hj = groups[gi][0][0], groups[hi][0][0]
+                    print(f'  tie a{hj} = {s:+d}*a{ri} + {k2}*pi/2 '
+                          f'(off {dist:.1e}) -> {len(trial)} dims '
+                          f'loss={loss / d:.3e}', flush=True)
+                groups, params = trial, th
+                committed = True
+                break
+        if not committed:
+            break
+    return params, groups
+
+
+def format_spec(r, sg):
+    """(Fraction r, magic sign) -> spec string; r normalized into (-1, 1]
+    mod 2 (a 2*pi angle shift only flips the gate's global sign, which
+    every certificate here is invariant to)."""
+    r = Fraction(r)
+    r = r - 2 * ((r + 1) // 2)  # into (-1, 1]
+    if sg == 0:
+        return (f'{r.numerator}/{r.denominator}' if r.denominator != 1
+                else f'{r.numerator}')
+    tag = '+magic' if sg > 0 else '-magic'
+    if r == 0:
+        return 'magic' if sg > 0 else '-magic'
+    head = (f'{r.numerator}/{r.denominator}' if r.denominator != 1
+            else f'{r.numerator}')
+    return f'{head}{tag}'
+
+
+def derive_spec(spec, sign, k2):
+    """Spec of sign * a + k2 * pi/2 given a's spec."""
+    from benchmarks.exact_relphase_proof import parse_spec
+    r, sg = parse_spec(spec)
+    return format_spec(sign * r + Fraction(k2, 2), sign * sg)
+
+
+# ---------------------------------------------------------------------------
 # identification
 # ---------------------------------------------------------------------------
 
@@ -291,60 +408,69 @@ def hypotheses(angle, loose_tol=0.08, max_den=12):
 def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
                   verbose=True, budget=200):
     """Pin-and-reconverge over a continuous gauge family: pin the nearest
-    family hypothesis for one free angle, Gauss-Newton the rest, keep the
+    family hypothesis for one free GROUP, Gauss-Newton the rest, keep the
     pin iff the residual returns below `accept` (measured discovery path
     of the connected row's coupled triple, RESULTS_r3 §17). Gauge families
     can be multi-dimensional, and a valid pin can still strand the
     REMAINING angles off every representable value (seen on the connected
     row: a11=pi/6+magic re-converges to zero loss but dead-ends a10/a12,
     while a12=-3pi/4 resolves all three) — so this is a depth-first
-    search with backtracking, bounded by `budget` GN solves."""
+    search with backtracking, bounded by `budget` GN solves. Tie
+    detection (try_ties) runs first and again after every accepted pin:
+    relations shrink the family without committing values, which is what
+    makes the ~22-dimensional relphase toffoli-5 family tractable."""
     spent = [0]
 
-    def dfs(params, specs):
-        if None not in specs:
+    def dfs(params, specs, groups):
+        if not groups:
             return params, specs
-        free = [i for i in range(len(specs)) if specs[i] is None]
+        vals = _group_x(params, groups)
         ranked = []
-        for i in free:
-            for key, dist, h in hypotheses(params[i]):
-                ranked.append((key, dist, i, h))
+        for g in range(len(groups)):
+            for key, dist, h in hypotheses(vals[g]):
+                ranked.append((key, dist, g, h))
         ranked.sort()
-        for _, dist, i, h in ranked:
+        for _, dist, g, h in ranked:
             if spent[0] >= budget:
                 return None
             spent[0] += 1
             trial = params.copy()
-            trial[i] = spec_value(h)
-            rest = [j for j in free if j != i]
+            v = spec_value(h)
+            for i, s, k2 in groups[g]:
+                trial[i] = s * v + k2 * (math.pi / 2)
+            rest = groups[:g] + groups[g + 1:]
             if rest:
-                trial, loss = gauss_newton(fns, trial, rest,
-                                           iters=gn_iters)
+                trial, loss = gauss_newton_groups(fns, trial, rest,
+                                                  iters=gn_iters)
             else:
                 r = np.asarray(fns[0](jnp.asarray(trial)))
                 loss = float(np.sum(r ** 2))
             if loss / d >= accept:
                 continue
             child = list(specs)
-            child[i] = h
-            for j in rest:
-                s = identify(trial[j])
-                if s is not None:
-                    child[j] = s
-                    trial[j] = spec_value(s)
+            for i, s, k2 in groups[g]:
+                child[i] = derive_spec(h, s, k2)
+                trial[i] = spec_value(child[i])
             if verbose:
+                rep = groups[g][0][0]
                 done = len(child) - child.count(None)
-                print(f'  pin a{i}={h} (off {dist:.1e}) -> '
-                      f'{done}/{len(child)} loss={loss / d:.3e}',
+                print(f'  pin a{rep}={h} (off {dist:.1e}, {len(groups[g])} '
+                      f'tied) -> {done}/{len(child)} loss={loss / d:.3e}',
                       flush=True)
-            res = dfs(trial, child)
+            trial, rest = try_ties(fns, d, trial, rest, accept=accept,
+                                   gn_iters=gn_iters, verbose=verbose)
+            res = dfs(trial, child, rest)
             if res is not None:
                 return res
             if verbose:
-                print(f'  backtrack a{i}={h}', flush=True)
+                print(f'  backtrack a{groups[g][0][0]}={h}', flush=True)
         return None
 
-    res = dfs(params, specs)
+    free = [i for i in range(len(specs)) if specs[i] is None]
+    groups = [[(i, 1, 0)] for i in free]
+    params, groups = try_ties(fns, d, params, groups, accept=accept,
+                              gn_iters=gn_iters, verbose=verbose)
+    res = dfs(params, specs, groups)
     return res if res is not None else (params, specs)
 
 
