@@ -71,11 +71,13 @@ def _gate_plan(qc):
     return plan, k
 
 
-def residual_fn(qc, target):
+def residual_fn(qc, target, loss_kind='modulo_diagonal'):
     """params -> real residual vector r with loss == sum(r^2)/d.
 
-    Valid for the all-wires modulo-diagonal loss: with A = (U @ T)^H
-    unitary, 1 - sum_i |A_ii|^2/d == sum_{i!=j} |A_ij|^2/d exactly.
+    modulo_diagonal (all wires): with A = (U @ T)^H unitary,
+    1 - sum_i |A_ii|^2/d == sum_{i!=j} |A_ij|^2/d exactly.
+    hst (global-phase equivalence): with M = U @ T^H unitary and
+    z = tr(M)/d, sum |M - z*I|^2 == d - d|z|^2 == d * hst_loss exactly.
     """
     plan, n_par = _gate_plan(qc)
     n = qc.num_qubits
@@ -110,10 +112,21 @@ def residual_fn(qc, target):
                     u = u.at[i1].set(jnp.conj(e0) * r1)
         return u
 
-    def resid(params):
-        a = (build(params) @ jnp.asarray(target)).conj().T
-        r = a.ravel()[off]
-        return jnp.concatenate([jnp.real(r), jnp.imag(r)])
+    if loss_kind == 'modulo_diagonal':
+        def resid(params):
+            a = (build(params) @ jnp.asarray(target)).conj().T
+            r = a.ravel()[off]
+            return jnp.concatenate([jnp.real(r), jnp.imag(r)])
+    elif loss_kind == 'hst':
+        tH = jnp.asarray(target.conj().T)
+
+        def resid(params):
+            m = build(params) @ tH
+            z = jnp.trace(m) / d
+            r = (m - z * jnp.eye(d, dtype=m.dtype)).ravel()
+            return jnp.concatenate([jnp.real(r), jnp.imag(r)])
+    else:
+        raise ValueError(loss_kind)
 
     return resid, n_par, d
 
@@ -239,90 +252,191 @@ def try_ties(fns, d, params, groups, accept=1e-24, gn_iters=25,
     return params, groups
 
 
-def format_spec(r, sg):
-    """(Fraction r, magic sign) -> spec string; r normalized into (-1, 1]
-    mod 2 (a 2*pi angle shift only flips the gate's global sign, which
-    every certificate here is invariant to)."""
+def null_dim_groups(fns, params, groups, tol=1e-8):
+    """Null-space dimension of the grouped residual Jacobian at `params`,
+    plus per-group participation (max |null-vector component|)."""
+    _, jac = fns
+    x = _group_x(params, groups)
+    th = _theta(params, groups, x)
+    j = np.asarray(jac(jnp.asarray(th)))
+    jx = np.zeros((j.shape[0], len(groups)))
+    for g, members in enumerate(groups):
+        for i, s, _ in members:
+            jx[:, g] += s * j[:, i]
+    _, sv, vt = np.linalg.svd(jx)
+    null_dim = int(np.sum(sv < tol * max(sv[0], 1e-30)))
+    null_dim += max(0, len(groups) - len(sv))
+    part = (np.max(np.abs(vt[len(groups) - null_dim:, :]), axis=0)
+            if null_dim else np.zeros(len(groups)))
+    return null_dim, part
+
+
+def null_space_report(fns, params, specs, tol=1e-8):
+    """At a converged point, split the unidentified angles into GAUGE
+    coordinates (participate in the residual Jacobian's null space — the
+    continuous family) and RIGID ones (fixed by the equations but not
+    matching any known family: candidates for new constants / algebraic
+    identification). Returns dict with the null-space dimension and
+    per-coordinate max |null-vector component|."""
+    _, jac = fns
+    free = [i for i in range(len(specs)) if specs[i] is None]
+    j = np.asarray(jac(jnp.asarray(params)))[:, free]
+    _, sv, vt = np.linalg.svd(j, full_matrices=True)
+    null_dim = int(np.sum(sv < tol * sv[0])) + (vt.shape[0] - len(sv)
+                                                if vt.shape[0] > len(sv)
+                                                else 0)
+    part = np.max(np.abs(vt[len(free) - null_dim:, :]), axis=0) \
+        if null_dim else np.zeros(len(free))
+    return {'free': free, 'null_dim': null_dim,
+            'gauge': [i for i, p in zip(free, part) if p > 1e-6],
+            'rigid': [i for i, p in zip(free, part) if p <= 1e-6],
+            'participation': {i: float(p) for i, p in zip(free, part)},
+            'singular_values_tail': sv[-(null_dim + 3):].tolist()}
+
+
+def format_spec(r, sg, name='magic'):
+    """(Fraction r, constant sign, constant name) -> spec string; r
+    normalized into (-1, 1] mod 2 (a 2*pi angle shift only flips the
+    gate's global sign, which every certificate here is invariant to)."""
     r = Fraction(r)
-    r = r - 2 * ((r + 1) // 2)  # into (-1, 1]
-    if sg == 0:
-        return (f'{r.numerator}/{r.denominator}' if r.denominator != 1
-                else f'{r.numerator}')
-    tag = '+magic' if sg > 0 else '-magic'
-    if r == 0:
-        return 'magic' if sg > 0 else '-magic'
+    r = 1 - ((1 - r) % 2)       # into (-1, 1]
     head = (f'{r.numerator}/{r.denominator}' if r.denominator != 1
             else f'{r.numerator}')
+    if sg == 0:
+        return head
+    tag = ('+' if sg > 0 else '-') + name
+    if r == 0:
+        return name if sg > 0 else f'-{name}'
     return f'{head}{tag}'
-
-
-def derive_spec(spec, sign, k2):
-    """Spec of sign * a + k2 * pi/2 given a's spec."""
-    from benchmarks.exact_relphase_proof import parse_spec
-    r, sg = parse_spec(spec)
-    return format_spec(sign * r + Fraction(k2, 2), sign * sg)
 
 
 # ---------------------------------------------------------------------------
 # identification
 # ---------------------------------------------------------------------------
+# Named transcendental constants appearing in relphase closed forms.
+# 'magic' is the Margolus angle (RESULTS_r3 §17). w1/w2/w3 are the RIGID
+# constants of the relphase toffoli-5 row, found by null_space_report +
+# mpmath.findpoly on the converged Gauss-Newton point: tan(w1) = 2-sqrt2,
+# tan(w2)^2 = 7-4*sqrt2 (equivalently cos(w2) = cos(pi/8)/sqrt2),
+# tan(w3)^2 = 4+2*sqrt2. All live in degree-<=4 extensions of Q.
+
+CONSTANTS = {
+    'magic': MAGIC,
+    'w1': math.atan(2.0 - math.sqrt(2.0)),
+    'w2': math.atan(math.sqrt(7.0 - 4.0 * math.sqrt(2.0))),
+    'w3': math.atan(math.sqrt(4.0 + 2.0 * math.sqrt(2.0))),
+}
+
+# Constants minted mid-search by algebraic identification of rigid
+# unidentified values: name -> (tan minimal-poly coeffs highest-first,
+# float approx of the tan root, integer k with a = atan(root) + k*pi).
+DYNAMIC_POLY = {}
+
+
+def register_dynamic_constant(value, degree=4, maxcoeff=64):
+    """Try to identify `value` as atan(algebraic) + k*pi via its tangent's
+    minimal polynomial; on success register it as a new named constant and
+    return the name (else None). This is exactly how w1/w2/w3 were found
+    on the relphase toffoli-5 row — rigid Jacobian coordinates whose
+    tangents satisfy small integer polynomials."""
+    from mpmath import mp, findpoly, tan, atan
+    mp.dps = 30
+    t = tan(mp.mpf(value))
+    if abs(t) > 1e8:
+        return None
+    poly = findpoly(t, degree, maxcoeff=maxcoeff, tol=mp.mpf(10) ** -11)
+    if poly is None:
+        return None
+    k = round((value - math.atan(float(t))) / math.pi)
+    name = f'u{len(DYNAMIC_POLY)}'
+    DYNAMIC_POLY[name] = ([int(c) for c in poly], float(t), k)
+    refined = float(mp_constant(name, mp))
+    # f64 values carry ~15 digits while deg-4/coeff-64 findpoly needs ~11
+    # to accept: require the poly's own root to reproduce the value well
+    # beyond the acceptance window, or drop the registration
+    if abs(refined - value) > 1e-13:
+        del DYNAMIC_POLY[name]
+        return None
+    CONSTANTS[name] = refined
+    return name
+
+
+def mp_constant(name, mp):
+    if name == 'magic':
+        return mp.atan(mp.sqrt(2))
+    if name == 'w1':
+        return mp.atan(2 - mp.sqrt(2))
+    if name == 'w2':
+        return mp.atan(mp.sqrt(7 - 4 * mp.sqrt(2)))
+    if name == 'w3':
+        return mp.atan(mp.sqrt(4 + 2 * mp.sqrt(2)))
+    if name in DYNAMIC_POLY:
+        coeffs, approx, k = DYNAMIC_POLY[name]
+        roots = [r for r in mp.polyroots([mp.mpf(c) for c in coeffs],
+                                         maxsteps=200, extraprec=200)
+                 if abs(mp.im(r)) < mp.mpf(10) ** -20]
+        root = min(roots, key=lambda r: abs(mp.re(r) - approx))
+        return mp.atan(mp.re(root)) + k * mp.pi
+    raise KeyError(name)
+
+
+def parse_spec_general(spec):
+    """'r', 'r(+|-)name', '(+|-)name', 'name' -> (Fraction r, sign, name)."""
+    s = spec.replace(' ', '')
+    for name in CONSTANTS:
+        if s in (name, '+' + name):
+            return Fraction(0), 1, name
+        if s == '-' + name:
+            return Fraction(0), -1, name
+        for pre, sg in (('+', 1), ('-', -1)):
+            tag = pre + name
+            if s.endswith(tag):
+                return Fraction(s[:-len(tag)]), sg, name
+    return Fraction(s), 0, None
+
+
+def derive_spec(spec, sign, k2):
+    """Spec of sign * a + k2 * pi/2 given a's spec."""
+    r, sg, name = parse_spec_general(spec)
+    return format_spec(sign * r + Fraction(k2, 2), sign * sg, name)
+
 
 def identify(angle, tol=1e-9, max_den=48):
-    """Match one angle against pi*p/q (q<=max_den) or r*pi +- arctan sqrt2
-    (r dyadic, |r|<=2). Returns a spec string ('3/4', '1-magic', ...) or
-    None. Specs follow exact_relphase_proof.CLOSED_FORM conventions."""
+    """Match one angle against pi*p/q (q<=max_den) or r*pi +- c for a
+    named constant c (r denominator <=16). Returns a spec string ('3/4',
+    '1-magic', '1/2+w2', ...) or None."""
     a = float(angle)
     fr = Fraction(a / math.pi).limit_denominator(max_den)
     if abs(a - math.pi * fr) < tol:
-        return f'{fr.numerator}/{fr.denominator}' if fr.denominator != 1 \
-            else f'{fr.numerator}'
-    for sign, tag in ((1, '+magic'), (-1, '-magic')):
-        r = Fraction((a - sign * MAGIC) / math.pi).limit_denominator(16)
-        if r.denominator <= 16 and abs(a - (math.pi * r + sign * MAGIC)) < tol:
-            if r == 0:
-                return tag if sign > 0 else '-magic'
-            rs = (f'{r.numerator}/{r.denominator}' if r.denominator != 1
-                  else f'{r.numerator}')
-            return f'{rs}{tag}'
+        return format_spec(fr, 0)
+    for name, c in CONSTANTS.items():
+        for sign in (1, -1):
+            r = Fraction((a - sign * c) / math.pi).limit_denominator(16)
+            if abs(a - (math.pi * r + sign * c)) < tol:
+                return format_spec(r, sign, name)
     return None
 
 
 def spec_value(spec):
     """Float value of an identify() spec."""
-    s = spec.replace(' ', '')
-    if s == '+magic' or s == 'magic':
-        return MAGIC
-    if s == '-magic':
-        return -MAGIC
-    for tag, sign in (('+magic', 1), ('-magic', -1)):
-        if s.endswith(tag):
-            head = s[:-len(tag)]
-            num, _, den = head.partition('/')
-            return math.pi * int(num) / (int(den) if den else 1) + sign * MAGIC
-    num, _, den = s.partition('/')
-    return math.pi * int(num) / (int(den) if den else 1)
+    r, sg, name = parse_spec_general(spec)
+    return math.pi * float(r) + (sg * CONSTANTS[name] if name else 0.0)
 
 
 def mp_spec_value(spec, mp):
-    s = spec.replace(' ', '')
-    magic = mp.atan(mp.sqrt(2))
-    if s in ('+magic', 'magic'):
-        return magic
-    if s == '-magic':
-        return -magic
-    for tag, sign in (('+magic', 1), ('-magic', -1)):
-        if s.endswith(tag):
-            head = s[:-len(tag)]
-            num, _, den = head.partition('/')
-            return (mp.pi * int(num) / (int(den) if den else 1)
-                    + sign * magic)
-    num, _, den = s.partition('/')
-    return mp.pi * int(num) / (int(den) if den else 1)
+    r, sg, name = parse_spec_general(spec)
+    v = mp.pi * r.numerator / r.denominator
+    if name:
+        v += sg * mp_constant(name, mp)
+    return v
 
 
-def mp_verify(qc, specs, meta, dps=60):
+def mp_verify(qc, specs, meta, dps=60, target=None):
     """Rebuild the circuit unitary in mpmath at `dps` digits from the spec
-    list and return the modulo-diagonal loss (float of an mpf)."""
+    list and return the artifact's loss (float of an mpf). NOTE: with the
+    default float64 target this only certifies down to ~1e-32 unless the
+    target is exactly representable (permutation targets are); pass an
+    mp-exact `target` matrix for more digits."""
     from mpmath import mp
     mp.dps = dps
     n = qc.num_qubits
@@ -330,7 +444,8 @@ def mp_verify(qc, specs, meta, dps=60):
     plan, n_par = _gate_plan(qc)
     assert len(specs) == n_par
 
-    target = np.load(os.path.join(_ART, 'targets.npz'))[meta['label']]
+    if target is None:
+        target = np.load(os.path.join(_ART, 'targets.npz'))[meta['label']]
     tmp = mp.matrix(d, d)
     for i in range(d):
         for j in range(d):
@@ -361,6 +476,12 @@ def mp_verify(qc, specs, meta, dps=60):
                     else:
                         u[i0, j] = (c - 1j * s) * r0
                         u[i1, j] = (c + 1j * s) * r1
+    if meta.get('loss_kind', 'modulo_diagonal') == 'hst':
+        m = u * tmp.transpose_conj()
+        z = mp.mpf(0)
+        for i in range(d):
+            z += m[i, i]
+        return 1 - abs(z / d) ** 2
     a = (u * tmp).transpose_conj()
     tot = mp.mpf(0)
     for i in range(d):
@@ -387,26 +508,27 @@ def hypotheses(angle, loose_tol=0.08, max_den=12):
             s = (f'{fr.numerator}/{fr.denominator}' if den != 1
                  else f'{fr.numerator}')
             cands.append((abs(a - v) * (1 + den / 4), abs(a - v), s))
-    for sign, tag in ((1, '+magic'), (-1, '-magic')):
-        for den in range(1, 9):
-            r = Fraction(round((a - sign * MAGIC) / math.pi * den), den)
-            if r.denominator != den and not (r == 0 and den == 1):
-                continue
-            v = math.pi * r + sign * MAGIC
-            if abs(a - v) < loose_tol:
-                if r == 0:
-                    s = 'magic' if sign > 0 else '-magic'
-                else:
-                    rs = (f'{r.numerator}/{r.denominator}'
-                          if r.denominator != 1 else f'{r.numerator}')
-                    s = f'{rs}{tag}'
-                cands.append((abs(a - v) * (1 + den / 4), abs(a - v), s))
+    for name, c in CONSTANTS.items():
+        # canonical-form preference: the Margolus family ranks with the
+        # rationals; row-specific constants (w*) and minted ones (u*) only
+        # win when nothing classical fits
+        fam = 1.0 if name == 'magic' else (
+            2.0 if name in DYNAMIC_POLY else 1.5)
+        for sign in (1, -1):
+            for den in range(1, 9):
+                r = Fraction(round((a - sign * c) / math.pi * den), den)
+                if r.denominator != den and not (r == 0 and den == 1):
+                    continue
+                v = math.pi * r + sign * c
+                if abs(a - v) < loose_tol:
+                    cands.append((abs(a - v) * (1 + den / 4) * fam,
+                                  abs(a - v), format_spec(r, sign, name)))
     cands.sort()
     return cands  # (rank_key, distance, spec), best first
 
 
 def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
-                  verbose=True, budget=200):
+                  verbose=True, budget=500, allow_mint=True):
     """Pin-and-reconverge over a continuous gauge family: pin the nearest
     family hypothesis for one free GROUP, Gauss-Newton the rest, keep the
     pin iff the residual returns below `accept` (measured discovery path
@@ -421,13 +543,59 @@ def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
     makes the ~22-dimensional relphase toffoli-5 family tractable."""
     spent = [0]
 
+    def finish_rigid(params, specs, groups):
+        """No gauge freedom left: every group value is pinned by the
+        equations. Identify each against the families; mint new named
+        constants (register_dynamic_constant) for the rest. Returns
+        (params, specs) or None."""
+        vals = _group_x(params, groups)
+        child = list(specs)
+        trial = params.copy()
+        for g, members in enumerate(groups):
+            h = identify(vals[g])
+            if h is None:
+                nm = (register_dynamic_constant(vals[g])
+                      if allow_mint else None)
+                if nm is None:
+                    return None
+                if verbose:
+                    print(f'  new constant {nm}: a{members[0][0]} = '
+                          f'{vals[g]:.15f}, tan poly '
+                          f'{DYNAMIC_POLY[nm][0]}', flush=True)
+                h = identify(vals[g])
+                if h is None:
+                    return None
+            for i, s, k2 in members:
+                child[i] = derive_spec(h, s, k2)
+                trial[i] = spec_value(child[i])
+        r = np.asarray(fns[0](jnp.asarray(trial)))
+        if float(np.sum(r ** 2)) / d >= accept:
+            return None
+        return trial, child
+
     def dfs(params, specs, groups):
         if not groups:
             return params, specs
+        null_dim, part = null_dim_groups(fns, params, groups)
+        if null_dim == 0:
+            res = finish_rigid(params, specs, groups)
+            if res is not None or verbose is False:
+                return res
+            print('  rigid point failed identification; backtrack',
+                  flush=True)
+            return None
+        # pin only gauge-participating groups: rigid groups are determined
+        # by the others and resolve for free once the family is killed.
+        # On the LAST gauge dimension widen the hypothesis window: the
+        # family is one-dimensional, so Gauss-Newton can slide along it to
+        # a representable point well beyond the local drift scale.
+        tol = 0.08 if null_dim > 1 else 0.45
         vals = _group_x(params, groups)
         ranked = []
         for g in range(len(groups)):
-            for key, dist, h in hypotheses(vals[g]):
+            if part[g] <= 1e-6:
+                continue
+            for key, dist, h in hypotheses(vals[g], loose_tol=tol):
                 ranked.append((key, dist, g, h))
         ranked.sort()
         for _, dist, g, h in ranked:
@@ -455,7 +623,8 @@ def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
                 rep = groups[g][0][0]
                 done = len(child) - child.count(None)
                 print(f'  pin a{rep}={h} (off {dist:.1e}, {len(groups[g])} '
-                      f'tied) -> {done}/{len(child)} loss={loss / d:.3e}',
+                      f'tied, gauge dim {null_dim}) -> '
+                      f'{done}/{len(child)} loss={loss / d:.3e}',
                       flush=True)
             trial, rest = try_ties(fns, d, trial, rest, accept=accept,
                                    gn_iters=gn_iters, verbose=verbose)
@@ -483,7 +652,7 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
     (None where unidentified) and the final losses."""
     qc, meta, target = reduced_artifact(label)
     meta['label'] = label
-    resid, n_par, d = residual_fn(qc, target)
+    resid, n_par, d = residual_fn(qc, target, meta['loss_kind'])
     fns = compile_resid(resid)
     params = np.array(qc.parameters, dtype=float)
     specs = [None] * n_par
@@ -510,8 +679,21 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
             break
 
     if None in specs:
-        params, specs = gauge_resolve(fns, d, params, specs,
-                                      gn_iters=gn_iters, verbose=verbose)
+        # pass 1 without minting new constants (canonical forms are both
+        # prettier and provable over smaller rings); mint only when the
+        # known families cannot close the row at all
+        p1, s1 = gauge_resolve(fns, d, params.copy(), list(specs),
+                               gn_iters=gn_iters, verbose=verbose,
+                               allow_mint=False)
+        if None not in s1:
+            params, specs = p1, s1
+        else:
+            if verbose:
+                print('mint-free pass failed; retrying with new-constant '
+                      'minting', flush=True)
+            params, specs = gauge_resolve(fns, d, params, specs,
+                                          gn_iters=gn_iters,
+                                          verbose=verbose)
 
     out = {'label': label, 'n_angles': n_par, 'specs': specs,
            'unidentified': [i for i in range(n_par) if specs[i] is None],
