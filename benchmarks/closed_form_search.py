@@ -527,6 +527,195 @@ def hypotheses(angle, loose_tol=0.08, max_den=12):
     return cands  # (rank_key, distance, spec), best first
 
 
+def scan_last_dim(fns, d, params, groups, part, accept=1e-24, gn_iters=12,
+                  n_scan=72, near=6e-2, verbose=True):
+    """Enumerate pin hypotheses along a ONE-dimensional gauge family by
+    slicing: fix the most mobile group at n_scan uniform values (every
+    slice still lies on the family, so GN re-converges the rest), and at
+    each slice record other coordinates that come close to a family
+    value. Local hypothesis windows cannot see representable points far
+    along the family; the scan covers the whole loop. Returns
+    [(quality, g_index_in_groups, spec), ...] best first."""
+    gpin = int(np.argmax(part))
+    rest = groups[:gpin] + groups[gpin + 1:]
+    found = {}
+    for v in np.linspace(-math.pi, math.pi, n_scan, endpoint=False):
+        trial = params.copy()
+        for i, s, k2 in groups[gpin]:
+            trial[i] = s * v + k2 * (math.pi / 2)
+        trial, loss = gauss_newton_groups(fns, trial, rest, iters=gn_iters)
+        if loss / d >= 1e-18:   # fell off the family (slice out of range)
+            continue
+        vals = _group_x(trial, rest)
+        for g2, val in enumerate(vals):
+            for key, dist, h in hypotheses(val, loose_tol=near):
+                gidx = g2 if g2 < gpin else g2 + 1
+                cur = found.get((gidx, h))
+                if cur is None or dist < cur[0]:
+                    # keep the slice point: pinning is applied from the
+                    # nearest on-family point so GN only corrects locally
+                    found[(gidx, h)] = (dist, trial.copy())
+    out = sorted(((dist, gidx, h, base)
+                  for (gidx, h), (dist, base) in found.items()),
+                 key=lambda t: t[0])
+    if verbose:
+        print(f'  scan: {len(out)} family crossings along dim-1 loop',
+              flush=True)
+    return out
+
+
+def _nearest_family(value, loose_tol=0.5):
+    """(distance, spec) of the family value nearest to `value`."""
+    best = (loose_tol, None)
+    for _, dist, h in hypotheses(value, loose_tol=loose_tol):
+        if dist < best[0]:
+            best = (dist, h)
+    return best
+
+
+def nice_descent(fns, d, params, specs, steps=250, eta=0.5, gn_iters=4,
+                 seed=0, kick=1.5, verbose=False):
+    """Descend the 'niceness' objective N = sum_i dist(theta_i, nearest
+    family value)^2 along the residual null manifold: gradient of N
+    projected onto the Jacobian's null space, re-converged onto the
+    zero-loss family by a few GN iterations after each step. DFS pinning
+    needs the right 4-deep hypothesis ORDER; this instead solves for the
+    simultaneously-representable point directly, from a random start on
+    the family (`seed` controls the initial null-space kick)."""
+    rng = np.random.default_rng(seed)
+    rf, jac = fns
+    free = [i for i in range(len(specs)) if specs[i] is None]
+    params = params.copy()
+
+    def null_basis(th):
+        j = np.asarray(jac(jnp.asarray(th)))[:, free]
+        _, sv, vt = np.linalg.svd(j)
+        nd = int(np.sum(sv < 1e-8 * max(sv[0], 1e-30)))
+        nd += max(0, len(free) - len(sv))
+        return vt[len(free) - nd:, :].T if nd else None
+
+    # random start: kick along the family and re-converge
+    v = null_basis(params)
+    if v is None:
+        return params, 0.0
+    k = v @ rng.normal(size=v.shape[1])
+    params[free] += kick * k / max(np.linalg.norm(k), 1e-12)
+    params, _ = gauss_newton(fns, params, free, iters=12)
+
+    n_val = math.inf
+    for it in range(steps):
+        g = np.zeros(len(free))
+        n_val = 0.0
+        for a, i in enumerate(free):
+            dist, h = _nearest_family(params[i])
+            delta = (params[i] - spec_value(h)) if h else 0.0
+            n_val += delta * delta
+            g[a] = 2 * delta
+        v = null_basis(params)
+        if v is None:
+            break
+        gp = v @ (v.T @ g)
+        step = eta * gp / (1 + 10 * it / steps)
+        params[free] -= step
+        params, loss = gauss_newton(fns, params, free, iters=gn_iters)
+        if verbose and it % 25 == 0:
+            print(f'  nice it={it} N={n_val:.3e} loss={loss / d:.1e}',
+                  flush=True)
+        if n_val < 1e-16:
+            break
+    return params, n_val
+
+
+def mp_refine(qc, meta, specs, params, dps=160, iters=12, verbose=True):
+    """Refine the FREE angles (specs[i] is None) to `dps`-digit precision
+    by Gauss-Newton in mpmath, holding spec'd angles at their exact
+    values. Requires the free coordinates to be RIGID (isolated solution:
+    gauge-fix first by pinning null directions). Returns the mpf angle
+    list. Used for algebraic identification: at 150+ digits, findpoly
+    verdicts on tan(theta) are effectively certificates."""
+    from mpmath import mp
+    mp.dps = dps
+    n = qc.num_qubits
+    d = 2 ** n
+    plan, n_par = _gate_plan(qc)
+    free = [i for i in range(n_par) if specs[i] is None]
+    target = np.load(os.path.join(_ART, 'targets.npz'))[meta['label']]
+    tgt = mp.matrix(d, d)
+    for i in range(d):
+        for j in range(d):
+            tgt[i, j] = mp.mpc(complex(target[i, j]))
+
+    theta = [mp_spec_value(specs[i], mp) if specs[i] is not None
+             else mp.mpf(float(params[i])) for i in range(n_par)]
+
+    def build(th):
+        u = mp.eye(d)
+        for name, qb, k in plan:
+            if name == 'cz':
+                b0 = 1 << (n - 1 - qb[0])
+                b1 = 1 << (n - 1 - qb[1])
+                for i in range(d):
+                    if (i & b0) and (i & b1):
+                        for j in range(d):
+                            u[i, j] = -u[i, j]
+            else:
+                half = th[k] / 2
+                c, s = mp.cos(half), mp.sin(half)
+                b = 1 << (n - 1 - qb)
+                for i0 in range(d):
+                    if i0 & b:
+                        continue
+                    i1 = i0 | b
+                    for j in range(d):
+                        r0, r1 = u[i0, j], u[i1, j]
+                        if name == 'rx':
+                            u[i0, j] = c * r0 - 1j * s * r1
+                            u[i1, j] = -1j * s * r0 + c * r1
+                        else:
+                            u[i0, j] = (c - 1j * s) * r0
+                            u[i1, j] = (c + 1j * s) * r1
+        return u
+
+    def residvec(th):
+        if meta.get('loss_kind', 'modulo_diagonal') == 'hst':
+            m = build(th) * tgt.transpose_conj()
+            z = sum(m[i, i] for i in range(d)) / d
+            ent = [m[i, j] - (z if i == j else 0)
+                   for i in range(d) for j in range(d)]
+        else:
+            a = (build(th) * tgt).transpose_conj()
+            ent = [a[i, j] for i in range(d) for j in range(d) if i != j]
+        out = []
+        for e in ent:
+            out.append(mp.re(e))
+            out.append(mp.im(e))
+        return out
+
+    h = mp.mpf(10) ** (-dps // 3)
+    for it in range(iters):
+        r0 = residvec(theta)
+        norm = mp.sqrt(sum(x * x for x in r0))
+        if verbose:
+            print(f'  mp_refine it={it} |r|={mp.nstr(norm, 3)}', flush=True)
+        if norm < mp.mpf(10) ** (-(dps * 3) // 4):
+            break
+        jcols = []
+        for i in free:
+            th2 = list(theta)
+            th2[i] = th2[i] + h
+            r1 = residvec(th2)
+            jcols.append([(b - a) / h for a, b in zip(r0, r1)])
+        m = len(r0)
+        jtj = [[sum(jcols[p][t] * jcols[q][t] for t in range(m))
+                for q in range(len(free))] for p in range(len(free))]
+        jtr = [sum(jcols[p][t] * r0[t] for t in range(m))
+               for p in range(len(free))]
+        step = mp.lu_solve(mp.matrix(jtj), mp.matrix(jtr))
+        for a, i in enumerate(free):
+            theta[i] = theta[i] - step[a]
+    return theta
+
+
 def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
                   verbose=True, budget=500, allow_mint=True):
     """Pin-and-reconverge over a continuous gauge family: pin the nearest
@@ -542,6 +731,7 @@ def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
     relations shrink the family without committing values, which is what
     makes the ~22-dimensional relphase toffoli-5 family tractable."""
     spent = [0]
+    scans = [10]
 
     def finish_rigid(params, specs, groups):
         """No gauge freedom left: every group value is pinned by the
@@ -586,23 +776,28 @@ def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
             return None
         # pin only gauge-participating groups: rigid groups are determined
         # by the others and resolve for free once the family is killed.
-        # On the LAST gauge dimension widen the hypothesis window: the
-        # family is one-dimensional, so Gauss-Newton can slide along it to
-        # a representable point well beyond the local drift scale.
-        tol = 0.08 if null_dim > 1 else 0.45
-        vals = _group_x(params, groups)
-        ranked = []
-        for g in range(len(groups)):
-            if part[g] <= 1e-6:
-                continue
-            for key, dist, h in hypotheses(vals[g], loose_tol=tol):
-                ranked.append((key, dist, g, h))
-        ranked.sort()
-        for _, dist, g, h in ranked:
+        # On the LAST gauge dimension, enumerate hypotheses by scanning
+        # the whole one-dimensional loop instead of a local window.
+        if null_dim == 1 and len(groups) > 1 and scans[0] > 0:
+            scans[0] -= 1
+            spent[0] += 20
+            ranked = [(dist, dist, g, h, base) for dist, g, h, base in
+                      scan_last_dim(fns, d, params, groups, part,
+                                    accept=accept, verbose=verbose)]
+        else:
+            vals = _group_x(params, groups)
+            ranked = []
+            for g in range(len(groups)):
+                if part[g] <= 1e-6:
+                    continue
+                for key, dist, h in hypotheses(vals[g]):
+                    ranked.append((key, dist, g, h, None))
+            ranked.sort(key=lambda t: t[0])
+        for _, dist, g, h, base in ranked:
             if spent[0] >= budget:
                 return None
             spent[0] += 1
-            trial = params.copy()
+            trial = (base if base is not None else params).copy()
             v = spec_value(h)
             for i, s, k2 in groups[g]:
                 trial[i] = s * v + k2 * (math.pi / 2)
@@ -662,11 +857,19 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
         if not free:
             break
         params, loss = gauss_newton(fns, params, free, iters=gn_iters)
+        # only commit identifications of RIGID coordinates: the greedy
+        # reducer PARKS gauge coordinates exactly at rationals (its whole
+        # job is snapping angles), and Gauss-Newton's minimal-norm steps
+        # never move along null directions — so a family value is no
+        # evidence a gauge coordinate belongs there. Gauge coordinates are
+        # resolved by the backtrackable DFS (their parked values rank
+        # first as distance-zero hypotheses anyway).
+        rep = null_space_report(fns, params, specs)
         if verbose:
-            print(f'round {rnd}: loss={loss / d:.3e} free={len(free)}',
-                  flush=True)
+            print(f'round {rnd}: loss={loss / d:.3e} free={len(free)} '
+                  f'gauge_dim={rep["null_dim"]}', flush=True)
         newly = 0
-        for i in free:
+        for i in rep['rigid']:
             s = identify(params[i], tol=id_tol)
             if s is not None:
                 specs[i] = s
