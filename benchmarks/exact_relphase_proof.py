@@ -192,6 +192,24 @@ CLOSED_FORMS = {
 }
 CLOSED_FORM = CLOSED_FORMS['relphase_toff4_connected']  # back-compat
 
+# ibm_qx rows whose reduced decomposition is fully identified (hst loss:
+# equality with the qasm circuit up to GLOBAL phase, not just relative
+# phases). alu-v3_34's published-optimal 14-CX row carries the magic pair
+# as pi - arctan(sqrt2) twice plus exact thirds (RESULTS_r3 §17) —
+# identified in one Gauss-Newton round by closed_form_search (all 56
+# angles rigid, no gauge family at all).
+CLOSED_FORMS_HST = {
+    'qx_alu-v3_34': (
+        'alu-v3_34',
+        ['1', '1/2', '1/2', '1', '1/4', '1/4', '1-magic', '1/2', '-1/2',
+         '1/3', '1/2', '1/2', '1/2', '1/2', '1/2', '1/2', '-2/3',
+         '1-magic', '1', '3/4', '1/2', '1', '1/4', '-3/4', '1/2', '-3/4',
+         '1/2', '1/2', '1/2', '1/4', '1/2', '-3/4', '1/2', '1/2', '3/4',
+         '-1/4', '1/2', '1', '-1/2', '1/2', '1/2', '3/4', '1/2', '1',
+         '1/2', '1', '1/2', '-1/4', '-1/2', '3/4', '1/2', '1/2', '1/2',
+         '1', '-1/2', '1/2']),
+}
+
 
 def parse_spec(spec):
     """'r', 'r+magic', 'r-magic', '(+|-)magic' -> (Fraction r, sign)."""
@@ -249,15 +267,10 @@ def reduced_relphase_circuit(label='relphase_toff4_connected'):
     return remove_zero_rgates(reduce_angles(qc, loss)), meta, target
 
 
-def prove(label='relphase_toff4_connected'):
-    """Build the closed-form unitary exactly in R and certify U x target
-    (a multi-controlled-X permutation) is diagonal with unit-modulus
-    entries. Returns a result dict."""
-    closed_form = CLOSED_FORMS[label]
-    qc, meta, target = reduced_relphase_circuit(label)
+def build_closed_form_unitary(qc, closed_form):
+    """The circuit's unitary, exactly, as a dim x dim array of R elements."""
     rot = [i for i in qc.instructions if i.param is not None]
     assert len(rot) == len(closed_form)
-
     n = qc.num_qubits
     d = 2 ** n
     U = [[q(u=_unit()) if i == j else q() for j in range(d)]
@@ -294,6 +307,18 @@ def prove(label='relphase_toff4_connected'):
             for i0 in range(d):
                 if (i0 & b0) and (i0 & b1):
                     U[i0] = [qneg(x) for x in U[i0]]
+    return U
+
+
+def prove(label='relphase_toff4_connected'):
+    """Build the closed-form unitary exactly in R and certify U x target
+    (a multi-controlled-X permutation) is diagonal with unit-modulus
+    entries. Returns a result dict."""
+    closed_form = CLOSED_FORMS[label]
+    qc, meta, target = reduced_relphase_circuit(label)
+    n = qc.num_qubits
+    d = 2 ** n
+    U = build_closed_form_unitary(qc, closed_form)
 
     # certificate: (U*T)[i,j] = U[i, perm(j)], T = toffoli-4 permutation
     perm = list(range(d))
@@ -315,6 +340,51 @@ def prove(label='relphase_toff4_connected'):
             'proven': bool(proven)}
 
 
+def prove_hst(label):
+    """Certify that `label`'s closed-form decomposition equals its qasm
+    circuit up to a GLOBAL phase, exactly: with s = <U, T> the ring
+    identity s * conj(s) == d^2 * den(s)^2 (Cauchy-Schwarz tightness for
+    unitaries). The target is evaluated exactly from the reference qasm
+    over Z[zeta_48] (circuits/exact_unitary.py); the closed-form circuit
+    lives in the quadratic extension R. Returns a result dict."""
+    import glob
+    from cpflow_tpu.circuits import exact_unitary as ex
+    from cpflow_tpu.circuits.ir import Circuit as IRCircuit
+
+    qasm_name, closed_form = CLOSED_FORMS_HST[label]
+    qc, meta, target = reduced_relphase_circuit(label)
+    assert meta['loss_kind'] == 'hst', meta['loss_kind']
+    d = 2 ** qc.num_qubits
+    U = build_closed_form_unitary(qc, closed_form)
+
+    path = glob.glob('/root/reference/paper/benchmark_circuits/'
+                     f'*/{qasm_name}.qasm')[0]
+    t = ex.exact_unitary(IRCircuit.from_qasm_file(path), M // 2)
+    assert t.m == M and t.dim == d
+
+    # float sanity only (not part of the certificate): the qasm target is
+    # the same matrix the artifact was synthesized against
+    import numpy as np
+    assert np.max(np.abs(t.to_complex() - target)) < 1e-9
+
+    s = q()
+    den = 2 ** t.e
+    for i in range(d):
+        ui, ti = U[i], t.entries[i]
+        for j in range(d):
+            if any(ti[j]):
+                s = qreduce(qadd(s, qmul(qconj(ui[j]),
+                                         q(u=list(ti[j]), den=den))))
+    proven = qis_const_true(qmul(s, qconj(s)), d * d)
+    return {'label': f'{label} (closed form, hst)',
+            'cx_count': qc.gates_count(['cz']),
+            'ring': 'Z[zeta_48][Y]/(Y^2 - 6(3+sqrt3))',
+            'closed_form': closed_form,
+            'proven': bool(proven)}
+
+
 if __name__ == '__main__':
     for lbl in CLOSED_FORMS:
         print(json.dumps(prove(lbl)), flush=True)
+    for lbl in CLOSED_FORMS_HST:
+        print(json.dumps(prove_hst(lbl)), flush=True)

@@ -176,3 +176,17 @@ def test_identify_round_trips():
         got = identify(spec_value(s))
         assert got is not None and abs(
             spec_value(got) - spec_value(s)) < 1e-12, (s, got)
+
+
+def test_alu_v3_34_hst_ring_proof():
+    """qx_alu-v3_34's published-optimal 14-CX decomposition (paper tab
+    bench I) is fully closed-form — rationals + thirds + the magic pair as
+    pi - arctan(sqrt2) twice — and PROVEN equal to its qasm circuit up to
+    global phase: the target is evaluated exactly from the reference qasm
+    over Z[zeta_48] and the inner-product certificate |<U,T>| == d holds
+    as a ring identity. First ibm_qx row with irrational angles proven."""
+    from benchmarks.exact_relphase_proof import prove_hst
+
+    result = prove_hst('qx_alu-v3_34')
+    assert result['proven']
+    assert result['cx_count'] == 14
