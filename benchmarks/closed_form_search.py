@@ -350,7 +350,10 @@ def register_dynamic_constant(value, degree=4, maxcoeff=64):
     k = round((value - math.atan(float(t))) / math.pi)
     name = f'u{len(DYNAMIC_POLY)}'
     DYNAMIC_POLY[name] = ([int(c) for c in poly], float(t), k)
-    refined = float(mp_constant(name, mp))
+    try:
+        refined = float(mp_constant(name, mp))
+    except Exception:   # noqa: BLE001 — polyroots can fail to converge
+        refined = math.inf
     # f64 values carry ~15 digits while deg-4/coeff-64 findpoly needs ~11
     # to accept: require the poly's own root to reproduce the value well
     # beyond the acceptance window, or drop the registration
@@ -373,7 +376,7 @@ def mp_constant(name, mp):
     if name in DYNAMIC_POLY:
         coeffs, approx, k = DYNAMIC_POLY[name]
         roots = [r for r in mp.polyroots([mp.mpf(c) for c in coeffs],
-                                         maxsteps=200, extraprec=200)
+                                         maxsteps=2000, extraprec=500)
                  if abs(mp.im(r)) < mp.mpf(10) ** -20]
         root = min(roots, key=lambda r: abs(mp.re(r) - approx))
         return mp.atan(mp.re(root)) + k * mp.pi

@@ -1,0 +1,39 @@
+"""Run closed_form_search over every committed artifact (except the ones
+already resolved/characterized) and emit one JSON line per row. Rows with
+gauge-free reductions identify in one Gauss-Newton round (qx_alu-v3_34
+did); gauge-heavy rows stop at the DFS budget. Host CPU only.
+
+Usage: python -m benchmarks.closed_form_sweep [label ...]
+"""
+import glob, json, os, sys, time
+
+from benchmarks.closed_form_search import search, DYNAMIC_POLY
+
+_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'artifacts')
+SKIP = {'relphase_toff4_connected', 'relphase_toff4_chain',
+        'relphase_toff5_connected', 'qx_alu-v3_34', 'qx_4gt13_92',
+        'exact_proofs'}
+
+
+def main():
+    labels = sys.argv[1:] or sorted(
+        os.path.basename(p)[:-5]
+        for p in glob.glob(os.path.join(_ART, '*.json'))
+        if os.path.basename(p)[:-5] not in SKIP)
+    for label in labels:
+        t0 = time.time()
+        try:
+            res = search(label, verbose=False)
+            row = {'label': label, 'n_angles': res['n_angles'],
+                   'unidentified': len(res['unidentified']),
+                   'specs': res['specs'] if not res['unidentified'] else None,
+                   'mp_loss': res['mp_loss_50dig'],
+                   'minted': dict(DYNAMIC_POLY)}
+        except Exception as e:  # noqa: BLE001 — sweep must not abort
+            row = {'label': label, 'error': f'{type(e).__name__}: {e}'}
+        row['wall_s'] = round(time.time() - t0, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == '__main__':
+    main()
