@@ -327,6 +327,26 @@ CONSTANTS = {
     'w3': math.atan(math.sqrt(4.0 + 2.0 * math.sqrt(2.0))),
 }
 
+# Closed forms discovered by this tool whose symbolic ring proof is still
+# open (the toffoli-5 row needs Z[zeta_64] plus the three w-towers — a
+# 2048-dimensional multi-quadratic ring; ROADMAP). Verified in mpmath to
+# 210 digits (loss 1.9e-210) — the paper's own exactness checks were
+# machine-precision Mathematica runs (CPFlow.tex:430).
+KNOWN_CLOSED_FORMS = {
+    'toffoli5_connected':   # 37 CZ, paper sec toff5 parity row
+        ['-1/2', '1/2', '7/8', '1/2', '1/2', '1/4', '1/2', '-1/2', '1/2',
+         '1', '1/2', '7/16', '1', '1', '1/16', '1', '1/2', '-1/2', '1/4',
+         '-3/4', '1-w1', '1/2', '-1/2', '1-w2', '-1/2', '1/2', '1',
+         '-1/2-w3', '5/8', '1/2', '1/2', '-1/2', '1/2', '1', '15/16', '1',
+         '15/16', '1/2', '1', '1/2', '1', '7/16', '1', '1/2', '-1/2',
+         '1/2', '-1/2', '1/16', '1', '1', '1', '15/16', '5/8', '1',
+         '-1/2+w3', '1/2', '1/2', '1/2', 'w2', '-1/2-w2', 'w3', '1', '1',
+         '1/16', '1', '15/16', '-1/2', '1/2', '9/16', '1', '15/16', '1/8',
+         '1/2', '1/2', '-1/2', '3/4', '1/4', '1/8', '1', '7/8', '1/2',
+         '1/2', '1/2', '1/2', '7/8', '-1/2', '1/2', '15/16', '-9/16',
+         '-1/16', '1/16', '1/2', '-1/2'],
+}
+
 # Constants minted mid-search by algebraic identification of rigid
 # unidentified values: name -> (tan minimal-poly coeffs highest-first,
 # float approx of the tan root, integer k with a = atan(root) + k*pi).
@@ -342,7 +362,7 @@ def register_dynamic_constant(value, degree=4, maxcoeff=64):
     from mpmath import mp, findpoly, tan, atan
     mp.dps = 30
     t = tan(mp.mpf(value))
-    if abs(t) > 1e8:
+    if abs(t) > 1e6:    # too close to a pi/2 pole for stable poly fits
         return None
     poly = findpoly(t, degree, maxcoeff=maxcoeff, tol=mp.mpf(10) ** -11)
     if poly is None:
@@ -378,6 +398,8 @@ def mp_constant(name, mp):
         roots = [r for r in mp.polyroots([mp.mpf(c) for c in coeffs],
                                          maxsteps=2000, extraprec=500)
                  if abs(mp.im(r)) < mp.mpf(10) ** -20]
+        if not roots:
+            raise ValueError(f'{name}: no real roots')
         root = min(roots, key=lambda r: abs(mp.re(r) - approx))
         return mp.atan(mp.re(root)) + k * mp.pi
     raise KeyError(name)

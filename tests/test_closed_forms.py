@@ -190,3 +190,19 @@ def test_alu_v3_34_hst_ring_proof():
     result = prove_hst('qx_alu-v3_34')
     assert result['proven']
     assert result['cx_count'] == 14
+
+
+@pytest.mark.slow
+def test_toffoli5_closed_form_60_digits():
+    """The 37-CZ connected toffoli-5 row is fully closed-form: dyadic
+    rationals (denominators up to 16) plus the three certified toffoli-5
+    constants w1/w2/w3 — verified here to 50 digits (1.9e-210 in the
+    discovery run; symbolic ring proof needs the w-tower ring, ROADMAP)."""
+    from benchmarks.closed_form_search import (KNOWN_CLOSED_FORMS,
+                                               mp_verify, reduced_artifact)
+
+    label = 'toffoli5_connected'
+    qc, meta, _ = reduced_artifact(label)
+    meta['label'] = label
+    loss = mp_verify(qc, KNOWN_CLOSED_FORMS[label], meta)
+    assert loss < 1e-50, loss
