@@ -24,9 +24,34 @@ import time
 import numpy as np
 
 
+def _backend_alive(timeout_s: int = 240) -> bool:
+    """Bounded tunnel-health probe in a SUBPROCESS: a dead axon tunnel
+    HANGS backend init indefinitely (observed for hours after a worker
+    crash, CLAUDE.md) — an in-process try/except never returns. The probe
+    compiles one tiny op; kill-on-timeout leaves this process clean."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     """Run the bench; on tunnel/compile failure retry once at reduced size
-    so the driver always gets a JSON line from a real measurement."""
+    so the driver always gets a JSON line from a real measurement. If the
+    backend is unreachable (hung tunnel), say so in the JSON instead of
+    hanging the driver."""
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "restart_iters_per_sec", "value": 0.0,
+            "unit": "restart-iterations/sec/chip", "vs_baseline": 0.0,
+            "error": "tpu backend unreachable (tunnel down; probe timed "
+                     "out) - no measurement taken"}))
+        return
     try:
         _run()
     except Exception as e:  # noqa: BLE001 — tunnel faults are non-deterministic
