@@ -867,7 +867,8 @@ def gauge_resolve(fns, d, params, specs, gn_iters=25, accept=1e-24,
 # the pin-and-reconverge driver
 # ---------------------------------------------------------------------------
 
-def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
+def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True,
+           budget=500):
     """Iteratively identify/pin/reconverge. Returns dict with specs
     (None where unidentified) and the final losses."""
     qc, meta, target = reduced_artifact(label)
@@ -912,7 +913,7 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
         # known families cannot close the row at all
         p1, s1 = gauge_resolve(fns, d, params.copy(), list(specs),
                                gn_iters=gn_iters, verbose=verbose,
-                               allow_mint=False)
+                               budget=budget, allow_mint=False)
         if None not in s1:
             params, specs = p1, s1
         else:
@@ -921,7 +922,7 @@ def search(label, rounds=8, gn_iters=25, id_tol=1e-9, verbose=True):
                       'minting', flush=True)
             params, specs = gauge_resolve(fns, d, params, specs,
                                           gn_iters=gn_iters,
-                                          verbose=verbose)
+                                          budget=budget, verbose=verbose)
 
     out = {'label': label, 'n_angles': n_par, 'specs': specs,
            'unidentified': [i for i in range(n_par) if specs[i] is None],
