@@ -30,7 +30,9 @@ def main():
                    'mp_loss': res['mp_loss_50dig'],
                    'minted': dict(DYNAMIC_POLY)}
         except Exception as e:  # noqa: BLE001 — sweep must not abort
-            row = {'label': label, 'error': f'{type(e).__name__}: {e}'}
+            import traceback
+            row = {'label': label, 'error': f'{type(e).__name__}: {e}',
+                   'traceback': traceback.format_exc().splitlines()[-6:]}
         row['wall_s'] = round(time.time() - t0, 1)
         print(json.dumps(row), flush=True)
 
