@@ -50,7 +50,11 @@ def main():
             "metric": "restart_iters_per_sec", "value": 0.0,
             "unit": "restart-iterations/sec/chip", "vs_baseline": 0.0,
             "error": "tpu backend unreachable (tunnel down; probe timed "
-                     "out) - no measurement taken"}))
+                     "out) - no measurement taken",
+            "last_measured": 743969.0,
+            "last_measured_note": "same workload, round 3 re-check after "
+                                  "queue cleanup (BENCH_r02: 745772; "
+                                  "RESULTS_r3.md §18)"}))
         return
     try:
         _run()

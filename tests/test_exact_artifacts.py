@@ -17,8 +17,16 @@ import pytest
 _EXACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       'benchmarks', 'artifacts', 'exact')
 
-_LABELS = sorted(os.path.basename(p)[:-5]
-                 for p in glob.glob(os.path.join(_EXACT, '*.json')))
+def _meta(label):
+    return json.load(open(os.path.join(_EXACT, f'{label}.json')))
+
+
+# Only instruction-list artifacts re-prove here; certificate-style files
+# (e.g. toffoli5_connected_certificate.json, a modular-CRT proof) carry
+# their own dedicated test (tests/test_toffoli5_proof.py).
+_LABELS = sorted(l for l in (os.path.basename(p)[:-5]
+                             for p in glob.glob(os.path.join(_EXACT, '*.json')))
+                 if 'num_qubits' in _meta(l))
 
 
 def _rebuild(meta):
@@ -52,16 +60,14 @@ def _prove(label):
             f'{label}: exact diagonal certificate failed'
 
 
-@pytest.mark.parametrize('label', [l for l in _LABELS
-                                   if json.load(open(os.path.join(
-                                       _EXACT, f'{l}.json')))['num_qubits'] <= 4])
+@pytest.mark.parametrize('label',
+                         [l for l in _LABELS if _meta(l)['num_qubits'] <= 4])
 def test_exact_artifact_reproves(label):
     _prove(label)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('label', [l for l in _LABELS
-                                   if json.load(open(os.path.join(
-                                       _EXACT, f'{l}.json')))['num_qubits'] > 4])
+@pytest.mark.parametrize('label',
+                         [l for l in _LABELS if _meta(l)['num_qubits'] > 4])
 def test_exact_artifact_reproves_large(label):
     _prove(label)
