@@ -22,6 +22,6 @@ run 5400 26 100 qx_4mod5_v1_24_chain
 run 5400 26 140 qx_one_two_three_v2_100
 run 5400 24 100 qx_alu_v0_26_chain
 run 5400 23 120 qx_4gt13_91_chain
-run 7200 35 540 toffoli5_connected_record
-run 7200 35 460 c4sqrtx_connected
+run 9999 35 540 toffoli5_connected_record
+run 9999 35 460 c4sqrtx_connected
 echo "=== queue14 end $(date -u +%FT%TZ) ===" >> $LOG
