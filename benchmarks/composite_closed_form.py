@@ -55,13 +55,13 @@ def _neg_spec(spec):
     return f'{r}{tail}'
 
 
-def w_closed_form_instructions():
-    """The proven closed-form 6-CZ relative-phase toffoli-4 as
+def w_closed_form_instructions(label='relphase_toff4_connected'):
+    """A proven closed-form relative-phase toffoli-4 as
     [(name, qubits, spec)] on qubits 0-3 (spec None for cz)."""
     from benchmarks.exact_relphase_proof import (CLOSED_FORMS,
                                                  reduced_relphase_circuit)
-    qc, _meta, _target = reduced_relphase_circuit('relphase_toff4_connected')
-    specs = CLOSED_FORMS['relphase_toff4_connected']
+    qc, _meta, _target = reduced_relphase_circuit(label)
+    specs = CLOSED_FORMS[label]
     out, ai = [], 0
     for inst in qc.instructions:
         if inst.param is not None:
@@ -73,11 +73,10 @@ def w_closed_form_instructions():
     return out
 
 
-def c3sqrtx_closed_form_instructions():
-    """The proven pi-rational 14-CZ C3-sqrt-X block (exact artifact) as
+def c3sqrtx_closed_form_instructions(label='c3sqrtx_connected'):
+    """A proven pi-rational C3-sqrt-X block (exact artifact) as
     [(name, qubits, spec)] on qubits 0-3."""
-    d = json.load(open(os.path.join(_ART, 'exact',
-                                    'c3sqrtx_connected.json')))
+    d = json.load(open(os.path.join(_ART, 'exact', f'{label}.json')))
     out = []
     for i in d['instructions']:
         if 'angle_pi_fraction' in i:
@@ -117,6 +116,30 @@ def composite_instructions():
     instrs += [('h', [4], None), ('cp', [3, 4], '-1/2'), ('h', [4], None)]
     instrs += w
     instrs += c3
+    return instrs
+
+
+def _cx(c, t):
+    """Exact cx expansion in the prover's gate set: cx = H_t CZ H_t."""
+    return [('h', [t], None), ('cz', [c, t], None), ('h', [t], None)]
+
+
+def composite_instructions_chain():
+    """The closed-form 48-CZ CHAIN toffoli-5 (the paper's sec-toff5 chain
+    count) from the proven chain pieces: the 11-CZ relphase toffoli-4
+    chain closed form and the pi-rational 18-CZ c3sqrtx chain block, with
+    the CX routing of composite.build_toffoli5_chain
+    (benchmarks/composite.py:41-59) expanded exactly to H CZ H."""
+    w = w_closed_form_instructions('relphase_toff4_chain')
+    c3 = c3sqrtx_closed_form_instructions('c3sqrtx_chain')
+    instrs = []
+    instrs += [('h', [4], None), ('cp', [3, 4], '1/2'), ('h', [4], None)]
+    instrs += _inverse(w)
+    instrs += [('h', [4], None), ('cp', [3, 4], '-1/2'), ('h', [4], None)]
+    instrs += w
+    instrs += _cx(4, 3) + _cx(3, 4)
+    instrs += c3
+    instrs += _cx(3, 4) + _cx(4, 3)
     return instrs
 
 
@@ -209,18 +232,25 @@ def hst_vs_toffoli5(U):
     return 1 - (abs(s) / d) ** 2, s
 
 
+BUILDERS = {
+    'toffoli5_connected_composite': composite_instructions,
+    'toffoli5_chain_composite': composite_instructions_chain,
+}
+
+
 def main():
     import sys
     dps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    instrs = composite_instructions()
-    nrot = sum(1 for nm, _q, sp in instrs if sp is not None and nm != 'cp')
-    print(f'composite: {len(instrs)} instructions, {nrot} closed-form '
-          f'rotations, cz cost = {cz_cost(instrs)}')
-    U = mp_unitary(instrs, dps=dps)
-    loss, s = hst_vs_toffoli5(U)
-    print(f'hst loss vs toffoli-5 at {dps} digits: {loss}')
-    print(f'<U,T>/d (global phase): {s / 32}')
-    return loss
+    for name, builder in BUILDERS.items():
+        instrs = builder()
+        nrot = sum(1 for nm, _q, sp in instrs
+                   if sp is not None and nm != 'cp')
+        print(f'{name}: {len(instrs)} instructions, {nrot} closed-form '
+              f'rotations, cz cost = {cz_cost(instrs)}')
+        U = mp_unitary(instrs, dps=dps)
+        loss, s = hst_vs_toffoli5(U)
+        print(f'  hst loss vs toffoli-5 at {dps} digits: {loss}')
+        print(f'  <U,T>/d (global phase): {s / 32}')
 
 
 if __name__ == '__main__':

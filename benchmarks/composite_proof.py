@@ -282,11 +282,8 @@ def _ring_mul_mod(a, b, p):
     return out.reshape(DIM)
 
 
-def build_plan(verbose=True):
+def build_plan(instrs, verbose=True):
     """Per-gate integer operators + exact DEN and coordinate bound."""
-    from benchmarks.composite_closed_form import composite_instructions
-    instrs = composite_instructions()
-
     rot_specs = sorted({sp for nm, _q, sp in instrs
                         if nm in ('rx', 'rz')})
     ops = {}
@@ -329,11 +326,13 @@ def build_plan(verbose=True):
     return plan, ops, oph, DEN, bound
 
 
-def prove(verbose=True):
+def prove(label='toffoli5_connected_composite', verbose=True):
+    from benchmarks.composite_closed_form import BUILDERS, cz_cost
+    instrs = BUILDERS[label]()
     n, d = 5, 32
     if verbose:
-        print('building exact gate operators...', flush=True)
-    plan, ops, oph, DEN, bound = build_plan(verbose=verbose)
+        print(f'[{label}] building exact gate operators...', flush=True)
+    plan, ops, oph, DEN, bound = build_plan(instrs, verbose=verbose)
 
     # s = <U, T>: 32 entries, DIM coords each, |coord| <= bound
     l1_s = d * bound * DIM
@@ -431,9 +430,8 @@ def prove(verbose=True):
         if not ok:
             break
 
-    return {'label': ('toffoli5_connected_composite (closed form, '
-                      'modular-CRT hst certificate)'),
-            'cz_count': 30,
+    return {'label': f'{label} (closed form, modular-CRT hst certificate)',
+            'cz_count': cz_cost(instrs),
             'field': 'Q(zeta_192)[Y]/(Y^2 - (18 + 6 sqrt3)) (dim 192)',
             'den_bits': DEN.bit_length(),
             'bound_bits': final_bound.bit_length(),
@@ -441,34 +439,47 @@ def prove(verbose=True):
             'proven': bool(ok_all)}
 
 
-def main():
-    res = prove()
-    if res['proven']:
-        out = os.path.join(_ART, 'exact',
-                           'toffoli5_composite_certificate.json')
-        from benchmarks.composite_closed_form import (
-            composite_instructions, cz_cost)
-        instrs = composite_instructions()
-        art = {'label': 'toffoli5_connected_composite',
-               'num_qubits': 5,
-               'cz_count': cz_cost(instrs),
-               'certificate': 'hst (modular-CRT over '
-                              'Q(zeta_192)[Y]/(Y^2-(18+6*sqrt3)))',
-               'field': res['field'],
-               'proven': res['proven'],
-               'den_bits': res['den_bits'],
-               'bound_bits': res['bound_bits'],
-               'num_primes': res['num_primes'],
-               'global_phase': 'e^{-i pi/32}',
-               'instructions': [
-                   {'name': nm, 'qubits': list(qs),
-                    **({'angle_spec': sp} if sp is not None else {})}
-                   for nm, qs, sp in instrs]}
-        with open(out, 'w') as f:
-            json.dump(art, f, indent=1, sort_keys=True)
-        print(f'certificate artifact -> {out}')
-    print(json.dumps(res))
-    return res
+# global phases measured by composite_closed_form.main (exact zeta_64
+# powers, consistent with the ring: x^{-3} and x^9)
+_PHASES = {'toffoli5_connected_composite': 'e^{-i pi/32}',
+           'toffoli5_chain_composite': 'e^{+3i pi/32}'}
+_ART_NAMES = {'toffoli5_connected_composite':
+              'toffoli5_composite_certificate.json',
+              'toffoli5_chain_composite':
+              'toffoli5_chain_composite_certificate.json'}
+
+
+def main(labels=None):
+    import sys
+    from benchmarks.composite_closed_form import BUILDERS, cz_cost
+    labels = labels or sys.argv[1:] or list(BUILDERS)
+    out_all = []
+    for label in labels:
+        res = prove(label)
+        if res['proven']:
+            out = os.path.join(_ART, 'exact', _ART_NAMES[label])
+            instrs = BUILDERS[label]()
+            art = {'label': label,
+                   'num_qubits': 5,
+                   'cz_count': cz_cost(instrs),
+                   'certificate': 'hst (modular-CRT over '
+                                  'Q(zeta_192)[Y]/(Y^2-(18+6*sqrt3)))',
+                   'field': res['field'],
+                   'proven': res['proven'],
+                   'den_bits': res['den_bits'],
+                   'bound_bits': res['bound_bits'],
+                   'num_primes': res['num_primes'],
+                   'global_phase': _PHASES[label],
+                   'instructions': [
+                       {'name': nm, 'qubits': list(qs),
+                        **({'angle_spec': sp} if sp is not None else {})}
+                       for nm, qs, sp in instrs]}
+            with open(out, 'w') as f:
+                json.dump(art, f, indent=1, sort_keys=True)
+            print(f'certificate artifact -> {out}')
+        print(json.dumps(res))
+        out_all.append(res)
+    return out_all
 
 
 if __name__ == '__main__':

@@ -112,10 +112,9 @@ def test_phi192_projection_is_the_true_component():
     assert abs(val - orig) < 1e-20
 
 
-def test_composite_instruction_stream():
-    from benchmarks.composite_closed_form import (composite_instructions,
-                                                  cz_cost)
-    instrs = composite_instructions()
+def test_composite_instruction_streams():
+    from benchmarks.composite_closed_form import BUILDERS, cz_cost
+    instrs = BUILDERS['toffoli5_connected_composite']()
     assert cz_cost(instrs) == 30          # the paper-beating count
     names = {nm for nm, _q, _s in instrs}
     assert names == {'rx', 'rz', 'cz', 'h', 'cp'}
@@ -123,33 +122,48 @@ def test_composite_instruction_stream():
     n_magic = sum(1 for _nm, _q, sp in instrs
                   if sp is not None and 'magic' in sp)
     assert n_magic == 8
+    chain = BUILDERS['toffoli5_chain_composite']()
+    assert cz_cost(chain) == 48           # the paper's chain count
+    n_magic = sum(1 for _nm, _q, sp in chain
+                  if sp is not None and 'magic' in sp)
+    assert n_magic == 4                   # 2 magic angles per chain W
 
 
-def test_composite_closed_form_is_toffoli5_mpmath():
-    """End-to-end: the closed-form instruction stream IS toffoli-5 up to
-    global phase at 40 digits (the symbolic certificate's claim)."""
+@pytest.mark.parametrize('label,phase_num', [
+    ('toffoli5_connected_composite', -1),
+    ('toffoli5_chain_composite', 3),
+])
+def test_composite_closed_form_is_toffoli5_mpmath(label, phase_num):
+    """End-to-end: the closed-form instruction streams ARE toffoli-5 up
+    to global phase at 40 digits (the symbolic certificates' claim)."""
     from mpmath import mp
-    from benchmarks.composite_closed_form import (composite_instructions,
+    from benchmarks.composite_closed_form import (BUILDERS,
                                                   hst_vs_toffoli5,
                                                   mp_unitary)
-    U = mp_unitary(composite_instructions(), dps=40)
+    U = mp_unitary(BUILDERS[label](), dps=40)
     loss, s = hst_vs_toffoli5(U)
     assert loss < mp.mpf(10) ** -38
-    # the global phase is e^{-i pi/32} (a zeta_64 power, as the ring says)
+    # the global phases are zeta_64 powers, as the ring says
     mp.dps = 40
-    assert abs(s / 32 - mp.e ** (-1j * mp.pi / 32)) < mp.mpf(10) ** -38
+    want = mp.e ** (phase_num * 1j * mp.pi / 32)
+    assert abs(s / 32 - want) < mp.mpf(10) ** -38
 
 
-def test_certificate_artifact_recorded():
-    path = os.path.join(_ART, 'exact',
-                        'toffoli5_composite_certificate.json')
+@pytest.mark.parametrize('artname,label,cz', [
+    ('toffoli5_composite_certificate.json',
+     'toffoli5_connected_composite', 30),
+    ('toffoli5_chain_composite_certificate.json',
+     'toffoli5_chain_composite', 48),
+])
+def test_certificate_artifact_recorded(artname, label, cz):
+    path = os.path.join(_ART, 'exact', artname)
     art = json.load(open(path))
     assert art['proven'] is True
-    assert art['cz_count'] == 30
+    assert art['cz_count'] == cz
     assert art['num_primes'] * 26 > art['bound_bits'] + 2
     # the committed instruction stream must match the builder exactly
-    from benchmarks.composite_closed_form import composite_instructions
-    instrs = composite_instructions()
+    from benchmarks.composite_closed_form import BUILDERS
+    instrs = BUILDERS[label]()
     assert len(art['instructions']) == len(instrs)
     for got, (nm, qs, sp) in zip(art['instructions'], instrs):
         assert got['name'] == nm and got['qubits'] == list(qs)
