@@ -21,12 +21,15 @@ def _meta(label):
     return json.load(open(os.path.join(_EXACT, f'{label}.json')))
 
 
-# Only instruction-list artifacts re-prove here; certificate-style files
-# (e.g. toffoli5_connected_certificate.json, a modular-CRT proof) carry
-# their own dedicated test (tests/test_toffoli5_proof.py).
+# Only pi-rational instruction-list artifacts (keyed by the cyclotomic
+# modulus 'q') re-prove here; certificate-style files — the modular-CRT
+# proofs of the 37-CZ toffoli-5 and the 30/48-CZ composites, whose
+# instruction streams carry irrational 'angle_spec's — have their own
+# dedicated tests (tests/test_toffoli5_proof.py,
+# tests/test_composite_proof.py).
 _LABELS = sorted(l for l in (os.path.basename(p)[:-5]
                              for p in glob.glob(os.path.join(_EXACT, '*.json')))
-                 if 'num_qubits' in _meta(l))
+                 if 'q' in _meta(l))
 
 
 def _rebuild(meta):
