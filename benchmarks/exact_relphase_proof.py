@@ -208,6 +208,21 @@ CLOSED_FORMS_HST = {
          '-1/4', '1/2', '1', '-1/2', '1/2', '1/2', '3/4', '1/2', '1',
          '1/2', '1', '1/2', '-1/4', '-1/2', '3/4', '1/2', '1/2', '1/2',
          '1', '-1/2', '1/2']),
+    # alu-v0_26's 25-CX CHAIN row (3 below published): identified by
+    # the round-3 closed_form_sweep — rationals (denominators <= 4 plus
+    # thirds) and the magic family again (mp loss 2.2e-32 at 50 digits)
+    'qx_alu-v0_26_chain': (
+        'alu-v0_26',
+        ['1/2', '-1/2', '1/2', '1', '3/4', '1', '-1/2', '1/2', '1/4',
+         '1/2', '3/4', '1/2', '1/2', '1', '1/2', '1', '1/2-magic',
+         '1/2', '1/2', '2/3', '1/2', '1', '2/3', '-1/2', '1/2', '1',
+         '1-magic', '1', 'magic', '1', '1', '1/3', '1', '1/2', '1',
+         '1', '1/2', '1', '2/3', '1/2', '1/2', '1', '-1/2', '1/2',
+         '-1/2+magic', '1/2', '-1/2', '1/2', '-1/2', '1/4', '1/2',
+         '1/2', '1', '-1/4', '1/2', '1/2', '1/2', '-1/2', '1/2',
+         '1/4', '1/2', '1/2', '1/2', '1/2', '1/2', '-1/2', '1/2', '1',
+         '1/2', '-1/2', '3/4', '1/4', '1/2', '-1/2', '-1/2', '1/2',
+         '1/2', '-1/2', '1/2', '-1/2', '-1/2', '1/2', '-1/4', '1']),
 }
 
 

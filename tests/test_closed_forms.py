@@ -193,6 +193,20 @@ def test_alu_v3_34_hst_ring_proof():
 
 
 @pytest.mark.slow
+def test_alu_v0_26_chain_hst_ring_proof():
+    """qx_alu-v0_26_chain's 25-CX row (beats the published 28 by 3) is
+    fully closed-form — rationals (denominators <= 4 plus thirds) and the
+    magic family — and PROVEN equal to its qasm circuit up to global
+    phase over the same quadratic ring as alu-v3_34 (round-3
+    closed_form_sweep identification; mp loss 2.2e-32 at 50 digits)."""
+    from benchmarks.exact_relphase_proof import prove_hst
+
+    result = prove_hst('qx_alu-v0_26_chain')
+    assert result['proven']
+    assert result['cx_count'] == 25
+
+
+@pytest.mark.slow
 def test_toffoli5_closed_form_60_digits():
     """The 37-CZ connected toffoli-5 row is fully closed-form: dyadic
     rationals (denominators up to 16) plus the three certified toffoli-5
