@@ -94,23 +94,54 @@ def _toeplitz_negacyclic(vec):
     return out
 
 
-def prove(label='qx_alu-v3_35_chain', verbose=True):
+def stream_from_artifact(label, specs):
+    """Greedy-reduce the CURRENT committed artifact and pair its rotations
+    with the closed-form specs: [{'name', 'qubits'[, 'angle_spec']}]."""
     from benchmarks.closed_form_search import reduced_artifact
 
-    qasm_name, specs = QX_TOWER_FORMS[label]
-    qc, meta, target = reduced_artifact(label)
+    qc, meta, _target = reduced_artifact(label)
     assert meta['loss_kind'] == 'hst'
-    n = qc.num_qubits
-    d = 2 ** n
-    rot = [i for i in qc.instructions if i.param is not None]
-    assert len(rot) == len(specs)
+    out, ai = [], 0
+    for inst in qc.instructions:
+        if inst.param is not None:
+            out.append({'name': inst.name, 'qubits': list(inst.qubits),
+                        'angle_spec': specs[ai]})
+            ai += 1
+        else:
+            out.append({'name': 'cz', 'qubits': list(inst.qubits)})
+    assert ai == len(specs)
+    return out
 
-    # exact target + float sanity (not part of the certificate)
+
+def certificate_stream(label):
+    """The instruction stream recorded in the committed certificate —
+    self-contained: stays valid when the capability artifact is later
+    improved to a lower CX count (the proof is OF the recorded row)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'artifacts', 'exact', f'{label}_certificate.json')
+    return json.load(open(path))['instructions']
+
+
+def prove(label='qx_alu-v3_35_chain', stream=None, verbose=True):
+    qasm_name, specs = QX_TOWER_FORMS[label]
+    if stream is None:
+        stream = stream_from_artifact(label, specs)
+    n = 5
+    d = 2 ** n
+    specs = [r['angle_spec'] for r in stream if 'angle_spec' in r]
+
+    # exact target + float sanity (not part of the certificate): the qasm
+    # target is the matrix the artifact was synthesized against
+    import os
     tent, te = _exact_target(qasm_name, d)
     zs = np.exp(1j * math.pi * np.arange(M) / M)
     tfloat = np.array([[complex(sum(int(c) * z for c, z in zip(v, zs)))
                         for v in row] for row in tent]) / 2 ** te
-    assert np.max(np.abs(tfloat - target)) < 1e-9
+    stored = np.load(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'artifacts',
+        'targets.npz'))[label]
+    assert np.max(np.abs(tfloat - stored)) < 1e-6
 
     if verbose:
         print(f'[{label}] building exact operators for '
@@ -131,17 +162,15 @@ def prove(label='qx_alu-v3_35_chain', verbose=True):
     DEN = 1
     bound = 1
     plan = []
-    ai = 0
-    for inst in qc.instructions:
-        if inst.param is not None:
-            s = specs[ai]
-            ai += 1
+    for r in stream:
+        if 'angle_spec' in r:
+            s = r['angle_spec']
             opc, opm, D, l1 = ops[s]
             DEN *= D
             bound *= l1
-            plan.append((inst.name, inst.qubits[0], s))
+            plan.append((r['name'], r['qubits'][0], s))
         else:
-            plan.append(('cz', inst.qubits, None))
+            plan.append(('cz', tuple(r['qubits']), None))
 
     # |s coords| <= bound * sum_ij L1(T_ij): cyclotomic multipliers scale
     # the inf-norm by their L1 mass (coordinate shifts with signs)
@@ -238,7 +267,7 @@ def prove(label='qx_alu-v3_35_chain', verbose=True):
             break
 
     return {'label': f'{label} (closed form, modular-CRT hst certificate)',
-            'cx_count': qc.gates_count(['cz']),
+            'cx_count': sum(1 for r in stream if r['name'] == 'cz'),
             'qasm': qasm_name,
             'field': 'Q(zeta_64)[Z][G1][G2][G3] (dim 512)',
             'den_bits': DEN.bit_length(),
@@ -250,9 +279,17 @@ def prove(label='qx_alu-v3_35_chain', verbose=True):
 def main():
     import os
     import sys
-    labels = sys.argv[1:] or list(QX_TOWER_FORMS)
+    labels = [a for a in sys.argv[1:] if not a.startswith('--')] \
+        or list(QX_TOWER_FORMS)
+    # --stream=<path>: prove a recorded instruction stream instead of
+    # re-deriving from the current capability artifact (used to keep the
+    # certificate valid after the artifact improves to a lower CX count)
+    stream = None
+    for a in sys.argv[1:]:
+        if a.startswith('--stream='):
+            stream = json.load(open(a.split('=', 1)[1]))
     for label in labels:
-        res = prove(label)
+        res = prove(label, stream=stream)
         if res['proven']:
             qasm_name, specs = QX_TOWER_FORMS[label]
             out = os.path.join(tp.__file__.rsplit('/', 1)[0], 'artifacts',
@@ -263,7 +300,9 @@ def main():
                    **{k: res[k] for k in ('cx_count', 'qasm', 'field',
                                           'den_bits', 'bound_bits',
                                           'num_primes', 'proven')},
-                   'closed_form': specs}
+                   'closed_form': specs,
+                   'instructions': (stream if stream is not None else
+                                    stream_from_artifact(label, specs))}
             with open(out, 'w') as f:
                 json.dump(art, f, indent=1, sort_keys=True)
             print(f'certificate artifact -> {out}')
