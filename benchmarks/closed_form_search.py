@@ -326,6 +326,16 @@ CONSTANTS = {
     'w2': math.atan(math.sqrt(7.0 - 4.0 * math.sqrt(2.0))),
     'w3': math.atan(math.sqrt(4.0 + 2.0 * math.sqrt(2.0))),
 }
+# Combination constants found (as quartic/quadratic tangent minpolys) on
+# qx_one-two-three-v1_99 and identified against the family at 60 digits:
+#   q1 = pi - 2 w2          (tan^2 q1 = 23 + 16 sqrt2)
+#   q2 = magic + w1         (tan q2  = 6 + 4 sqrt2 — the RESULTS_r3 §17
+#                            byproduct identity arctan(sqrt2) +
+#                            arctan(2 - sqrt2) = arctan(6 + 4 sqrt2))
+#   q3 = pi + w1 - magic    (tan q3  = (2 sqrt2 - 6)/7)
+CONSTANTS['q1'] = math.pi - 2.0 * CONSTANTS['w2']
+CONSTANTS['q2'] = MAGIC + CONSTANTS['w1']
+CONSTANTS['q3'] = math.pi + CONSTANTS['w1'] - MAGIC
 
 # Closed forms discovered by this tool whose symbolic ring proof is still
 # open (the toffoli-5 row needs Z[zeta_64] plus the three w-towers — a
@@ -345,6 +355,24 @@ KNOWN_CLOSED_FORMS = {
          '1/2', '1/2', '-1/2', '3/4', '1/4', '1/8', '1', '7/8', '1/2',
          '1/2', '1/2', '1/2', '7/8', '-1/2', '1/2', '15/16', '-9/16',
          '-1/16', '1/16', '1/2', '-1/2'],
+    # qx_one-two-three-v1_99's 46-CX row (the LARGEST published-table
+    # beat, 52 -> 46): identified by the round-3 sweep rerun — every
+    # angle is a pi-rational (denominators <= 8) or in the sqrt2
+    # family {magic, w1, w2, w3, q1, q2, q3} (mp loss 4.5e-32)
+    'qx_one-two-three-v1_99':
+        ['-1/2', '1/2', '1', '1-magic', '1/2', '1/2', '1/2', '1/3',
+         '1/2', '1/2', '3/8', '1-w3', '1/2', '-1/2', 'w2', 'q1', 'q2',
+         '1', '1/3', '1', '3/8', '-2/3', 'magic', 'magic', '1/3',
+         '-1/3', 'q3', '1', '1-w2', '1/6', 'magic', '1', 'w3', '-3/4',
+         '1/2', '-1/4', '1/2', '-1/2', '1/2', '1/4', '1/2', '5/8',
+         '1/2', '-1/2', '1/2', '-1/2', '1/2', '1/2', '1/2', '-1/2',
+         '3/4', '-1/2', '1/4', '1', '3/4', '1', '1/2', '1/4', '-7/8',
+         '-3/4', '-1/2', '1/2', '1', '1/4', '1/4', '1/2', '5/8',
+         '1/2', '1', '1', '3/4', '1', '1', '5/8', '1', '1', '-1/4',
+         '1', '-1/2', '1/2', '-1/4', '1/2', '1/8', '1', '-1/2', '1/4',
+         '7/8', '-1/2-magic', '1/2', '2/3', '1', '-3/4', '1/2', '1',
+         '1/2', '1/2+magic', '1/4', '-7/8', '1', '1/2', '1', '1/2',
+         '-1/2', '-1/2', '1/2', '-3/4'],
 }
 
 # Constants minted mid-search by algebraic identification of rigid
@@ -385,6 +413,12 @@ def register_dynamic_constant(value, degree=4, maxcoeff=64):
 
 
 def mp_constant(name, mp):
+    if name == 'q1':
+        return mp.pi - 2 * mp_constant('w2', mp)
+    if name == 'q2':
+        return mp_constant('magic', mp) + mp_constant('w1', mp)
+    if name == 'q3':
+        return mp.pi + mp_constant('w1', mp) - mp_constant('magic', mp)
     if name == 'magic':
         return mp.atan(mp.sqrt(2))
     if name == 'w1':

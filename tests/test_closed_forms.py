@@ -220,3 +220,65 @@ def test_toffoli5_closed_form_60_digits():
     meta['label'] = label
     loss = mp_verify(qc, KNOWN_CLOSED_FORMS[label], meta)
     assert loss < 1e-50, loss
+
+
+def test_v1_99_closed_form_artifact_recorded():
+    """qx_one-two-three-v1_99's 46-CX row (the LARGEST published-table
+    beat, 52 -> 46) is fully closed-form: pi-rationals (denominators
+    <= 8) + the sqrt2 family, incl. the combination constants
+    q1 = pi - 2 w2, q2 = magic + w1, q3 = pi + w1 - magic. The stream
+    artifact is self-contained (survives later capability updates)."""
+    import json, os
+    from benchmarks.closed_form_search import KNOWN_CLOSED_FORMS
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'benchmarks', 'artifacts', 'exact',
+        'qx_one-two-three-v1_99_closed_form.json')
+    art = json.load(open(path))
+    assert art['cx_count'] == 46
+    specs = [r['angle_spec'] for r in art['instructions']
+             if 'angle_spec' in r]
+    assert specs == KNOWN_CLOSED_FORMS['qx_one-two-three-v1_99']
+    assert sum(1 for r in art['instructions'] if r['name'] == 'cz') == 46
+
+
+def test_combination_constants_60_digits():
+    """q1/q2/q3 equal their quartic/quadratic tangent-minpoly forms found
+    by the sweep: tan^2 q1 = 23 + 16 sqrt2, tan q2 = 6 + 4 sqrt2,
+    tan q3 = (2 sqrt2 - 6)/7."""
+    from mpmath import mp
+    from benchmarks.closed_form_search import mp_constant
+
+    mp.dps = 60
+    s2 = mp.sqrt(2)
+    tol = mp.mpf(10) ** -55
+    assert abs(mp_constant('q1', mp)
+               - mp.atan(mp.sqrt(23 + 16 * s2))) < tol
+    assert abs(mp_constant('q2', mp) - mp.atan(6 + 4 * s2)) < tol
+    assert abs(mp_constant('q3', mp)
+               - (mp.pi + mp.atan((2 * s2 - 6) / 7))) < tol
+
+
+@pytest.mark.slow
+def test_v1_99_closed_form_50_digits():
+    """The recorded 46-CX stream IS the qasm unitary up to global phase
+    at 50+ digits."""
+    import json, os
+    from benchmarks.closed_form_search import mp_verify
+    from cpflow_tpu.circuits.ir import Circuit
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'benchmarks', 'artifacts', 'exact',
+        'qx_one-two-three-v1_99_closed_form.json')
+    art = json.load(open(path))
+    qc = Circuit(5)
+    specs = []
+    for r in art['instructions']:
+        if 'angle_spec' in r:
+            specs.append(r['angle_spec'])
+            qc.append(r['name'], tuple(r['qubits']), 0.0)
+        else:
+            qc.append('cz', tuple(r['qubits']))
+    loss = mp_verify(qc, specs, {'label': 'qx_one-two-three-v1_99',
+                                 'loss_kind': 'hst'})
+    assert abs(loss) < 1e-30, loss
