@@ -632,9 +632,9 @@ def qx_aj_e11_165():
 
 
 def qx_one_two_three_v2_100():
-    """tab bench I: published 28; r3 found 27 (beats published by 1;
-    committed artifact polished to 1.2e-11)."""
-    return _qasm_adaptive('one-two-three-v2_100', 28, target_cz=27,
+    """tab bench I: published 28; r3 found 25 (beats published by 3;
+    queue-17 hit, committed artifact polished to 2.6e-11)."""
+    return _qasm_adaptive('one-two-three-v2_100', 28, target_cz=25,
                           min_k=20, max_k=60, num_samples=2048,
                           max_evals=100)
 
