@@ -373,6 +373,21 @@ KNOWN_CLOSED_FORMS = {
          '7/8', '-1/2-magic', '1/2', '2/3', '1', '-3/4', '1/2', '1',
          '1/2', '1/2+magic', '1/4', '-7/8', '1', '1/2', '1', '1/2',
          '-1/2', '-1/2', '1/2', '-3/4'],
+    # qx_4gt13_91_chain's 24-CX row (beats the published 25): identified
+    # by the round-3 sweep rerun in ONE Gauss-Newton round — pi-rationals
+    # (denominators <= 12) plus {magic, w1, q1} of the sqrt2 family
+    # (mp loss -3.3e-32 at 50 digits)
+    'qx_4gt13_91_chain':
+        ['1/2', '-5/8', '1/2', '1', '1/2', '1/2', '1/2', '7/8', '1',
+         '3/4', '1', '1/2', '1/4', '1/2', '1', '1/2', '1/2', '3/4', '1',
+         '1/2', '-3/8', '1/2', '1', '3/4', '-1/2', '1/2', '1/4',
+         '1-magic', '-1/2', '-7/8', '1/2', '1/2', '1/6', '1/2', '-1/8',
+         '1/2', '1/2', '1/2', '1+magic', '1/2', '-1/2', '1/2', '-1/2',
+         '1/4', '1/4', '1/4', '1', '1/2', '-1/2', '1/2', '1/2', '1/2',
+         '5/8-w1', '1/2', '7/8', '1/2', '1', '1/2', '1', '-1/4', '1/2',
+         '1/2', '1', '1/2', '1', '1/2', '1/2', '3/4', '-7/12-q1', '1/2',
+         '1', '1/2', '1/2', '1', '1/2', '-1/3-q1', '1/2', '1/2', '1/4',
+         '5/8', '1/2', '-7/8-w1', '1', '1', '3/4'],
 }
 
 # Constants minted mid-search by algebraic identification of rigid

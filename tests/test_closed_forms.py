@@ -282,3 +282,43 @@ def test_v1_99_closed_form_50_digits():
     loss = mp_verify(qc, specs, {'label': 'qx_one-two-three-v1_99',
                                  'loss_kind': 'hst'})
     assert abs(loss) < 1e-30, loss
+
+
+def test_4gt13_91_chain_closed_form_artifact_recorded():
+    """qx_4gt13_91_chain's 24-CX row (beats the published 25) is fully
+    closed-form: pi-rationals (denominators <= 12) + {magic, w1, q1} of
+    the sqrt2 family — identified by the round-3 sweep in one
+    Gauss-Newton round. The stream artifact is self-contained."""
+    from benchmarks.closed_form_search import KNOWN_CLOSED_FORMS
+
+    path = os.path.join(_ART, 'exact',
+                        'qx_4gt13_91_chain_closed_form.json')
+    art = json.load(open(path))
+    assert art['cx_count'] == 24
+    specs = [r['angle_spec'] for r in art['instructions']
+             if 'angle_spec' in r]
+    assert specs == KNOWN_CLOSED_FORMS['qx_4gt13_91_chain']
+    assert sum(1 for r in art['instructions'] if r['name'] == 'cz') == 24
+
+
+@pytest.mark.slow
+def test_4gt13_91_chain_closed_form_50_digits():
+    """The recorded 24-CX stream IS the 4gt13_91 qasm unitary up to
+    global phase at 50+ digits."""
+    from benchmarks.closed_form_search import mp_verify
+    from cpflow_tpu.circuits.ir import Circuit
+
+    path = os.path.join(_ART, 'exact',
+                        'qx_4gt13_91_chain_closed_form.json')
+    art = json.load(open(path))
+    qc = Circuit(5)
+    specs = []
+    for r in art['instructions']:
+        if 'angle_spec' in r:
+            specs.append(r['angle_spec'])
+            qc.append(r['name'], tuple(r['qubits']), 0.0)
+        else:
+            qc.append('cz', tuple(r['qubits']))
+    loss = mp_verify(qc, specs, {'label': 'qx_4gt13_91_chain',
+                                 'loss_kind': 'hst'})
+    assert abs(loss) < 1e-30, loss
