@@ -185,6 +185,21 @@ def _run():
     reference_cpu = float(os.environ.get('CPFLOW_REFERENCE_CPU_RATE',
                                          reference_cpu))
 
+    # auditable roofline arithmetic (VERDICT r3 item 5): the analytic
+    # flop/byte model of this exact workload, the implied Tflop/s / GB/s at
+    # the measured rate, and the fractions of the v5e spec ceilings. The
+    # flop model is exact for the op mix (a lower bound on time); the byte
+    # model assumes no fusion between gate applications (an upper bound),
+    # so hbm_fraction_upper > 1 measures how much XLA fuses. The measured
+    # rate sitting between the two rooflines = bandwidth-bound with partial
+    # fusion, which is the RESULTS_r2 conclusion in auditable form.
+    from cpflow_tpu.utils.profiling import (roofline_model, V5E_HBM_GBPS,
+                                            V5E_VPU_FMA_TFLOPS)
+    model = roofline_model(num_qubits, num_cp_gates, rotation_gates,
+                           kind='hst', reversible=reversible)
+    tflops = restart_iters_per_sec * model['flops'] / 1e12
+    gbps = restart_iters_per_sec * model['hbm_bytes'] / 1e9
+
     result = {
         "metric": f"restart-iterations/sec/chip ({num_qubits}q chain, "
                   f"k={num_cp_gates}, batch={batch})",
@@ -192,6 +207,20 @@ def _run():
         "unit": "restart-iter/s",
         "vs_baseline": round(restart_iters_per_sec / baseline, 2),
         "vs_reference_cpu": round(restart_iters_per_sec / reference_cpu, 1),
+        "roofline": {
+            "flops_per_restart_iter": model['flops'],
+            "hbm_bytes_per_restart_iter_nofusion": model['hbm_bytes'],
+            "model_tflops_f32": round(tflops, 3),
+            "model_hbm_gbps_nofusion": round(gbps, 1),
+            "vpu_fma_peak_tflops_f32": V5E_VPU_FMA_TFLOPS,
+            "vpu_fraction": round(tflops / V5E_VPU_FMA_TFLOPS, 3),
+            "hbm_peak_gbps": V5E_HBM_GBPS,
+            "hbm_fraction_upper": round(gbps / V5E_HBM_GBPS, 2),
+            "note": "flop model exact for the op mix; byte model is a "
+                    "no-fusion upper bound -- hbm_fraction_upper > 1 means "
+                    "XLA fuses that factor of round trips. Bandwidth is "
+                    "the binding roofline (RESULTS_r2.md): forward-only "
+                    "probe 2.1-2.5M it/s, adjoint floor ~3x forward."},
     }
     print(json.dumps(result))
 

@@ -330,6 +330,12 @@ class BasicOptions:
     num_gd_iterations_at_verification: int = 5000
     random_seed: int = 0
     rotation_gates: str = 'xyz'
+    # unsafe_batch=True downgrades the measured TPU-worker crash envelope
+    # (RESULTS_r3.md §1/§18: 6q @ batch 4096 kills a v5e worker outright;
+    # 5q @ effective batch 4096 at paper-scale k does too) from a hard
+    # ValueError to the legacy warning. A crashed worker can take the
+    # shared backend down for hours — never set this on shared hardware.
+    unsafe_batch: bool = False
 
 
 @dataclass
@@ -623,7 +629,7 @@ class Synthesize:
             regularization_func=self.cp_regularization_func, r=options.r,
             reversible=True)
         batch_size = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
-        self._check_working_set(batch_size)
+        self._check_working_set(batch_size, options)
         sharding = mesh_lib.restart_sharding(self.mesh) if self.mesh else None
         return cand.run_raw_stage_fused(
             regloss_fn, options.random_seed, batch_size, anz.num_angles,
@@ -632,24 +638,44 @@ class Synthesize:
             learning_rate=options.learning_rate,
             num_iterations=options.num_gd_iterations, sharding=sharding)
 
-    def _check_working_set(self, batch_size: int) -> None:
-        """Warn before the measured VMEM-spill/crash regime: the fused sweep
+    def _check_working_set(self, batch_size: int, options=None) -> None:
+        """Enforce the measured VMEM-spill/crash envelope: the fused sweep
         holds (2^n, 2^n, B) complex64 tensors; throughput degrades once one
-        exceeds ~32 MB per device and a v5e worker crashes outright at
-        ~134 MB (6q @ batch 4096) — RESULTS_r3.md §1."""
+        exceeds ~32 MB per device, a v5e worker crashes outright at ~134 MB
+        (6q @ batch 4096, k=20), and at paper-scale template depth the wall
+        moves in (5q @ effective batch 4096 crashed at k~50 where k=20 was
+        fine) — RESULTS_r3.md §1/§18. The envelope model scales the tensor
+        size linearly in k past the measured k=20 plateau; the crash wall in
+        that normalized measure sits between the largest surviving point
+        (6q@2048,k20 = 64 MiB) and the smallest crashing one (5q@4096,k~50
+        ~= 80 MiB), so the guard trips at 75. Default: hard ValueError (a dead
+        worker takes shared hardware down for hours); options.unsafe_batch
+        =True restores the legacy warn-and-proceed behavior."""
         if getattr(self.unitary_loss_func, 'kind', None) == 'state':
             return  # column-only build, 2^n-fold smaller
         per_device = batch_size // (self.mesh.devices.size if self.mesh else 1)
         tensor_mb = (4 ** self.num_qubits) * per_device * 8 / 2 ** 20
-        if tensor_mb > 96:
-            import warnings
-            warnings.warn(
+        k = 20
+        if options is not None:
+            k = getattr(options, 'max_num_cp_gates', None) or \
+                getattr(options, 'num_cp_gates', None) or 20
+        eff_mb = tensor_mb * max(1.0, k / 20.0)
+        if eff_mb > 75:
+            msg = (
                 f'batched unitary tensor is {tensor_mb:.0f} MB per device '
                 f'(2^{self.num_qubits} x 2^{self.num_qubits} x '
-                f'{per_device} c64); measured to crash a v5e TPU worker '
+                f'{per_device} c64; {eff_mb:.0f} MB k-scaled working set '
+                f'at num_cp_gates={k}); measured to crash a v5e TPU worker '
                 f'beyond ~128 MB — reduce num_samples '
-                f'(throughput plateaus by ~32 MB anyway, RESULTS_r3.md)',
-                stacklevel=3)
+                f'(throughput plateaus by ~32 MB anyway, RESULTS_r3.md)')
+            if options is not None and getattr(options, 'unsafe_batch', False):
+                import warnings
+                warnings.warn(msg, stacklevel=3)
+            else:
+                raise ValueError(
+                    msg + '; pass unsafe_batch=True to override at your '
+                          'own risk (a crashed worker can take the shared '
+                          'TPU backend down for hours)')
 
     def _bucketed_stage(self, options, vmapped: bool = False):
         """One jitted raw-stage executable for ALL (k, r) adaptive trials:
@@ -660,7 +686,7 @@ class Synthesize:
         batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
         self._check_working_set(
             batch * max(1, int(getattr(options, 'parallel_trials', 1) or 1))
-            if vmapped else batch)
+            if vmapped else batch, options)
         key = (options.max_num_cp_gates, options.rotation_gates, batch,
                options.num_gd_iterations, options.learning_rate,
                options.cp_distribution, options.threshold_cp, vmapped)
@@ -852,7 +878,7 @@ class Synthesize:
 
             log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
 
-            return {
+            return_dict = {
                 'loss': -score,
                 'status': 'ok',
                 'random_seed': random_seed,
@@ -863,6 +889,17 @@ class Synthesize:
                 'prospective_decompositions':
                     [[int(ev.cz[i]), ev.angles[i]] for i in prospective],
             }
+            if options.keep_logs:
+                # per-trial attachments parity (reference main.py:751-756):
+                # dill payloads of the prospectives, the trial's realized
+                # static options and the loss spec travel with the trial
+                return_dict['attachments'] = {
+                    'prospective_decompositions':
+                        dill.dumps(return_dict['prospective_decompositions']),
+                    'static_options':
+                        dill.dumps(options.get_static(num_cp_gates, r)),
+                    'unitary_loss_func': dill.dumps(self.unitary_loss_func)}
+            return return_dict
 
         def objective(random_seed, search_params):
             num_cp_gates, r = int(search_params[0]), float(search_params[1])

@@ -154,6 +154,46 @@ def test_adaptive_mini_run(tmp_path):
     assert len(hp) == 4 and len(hp[0]) == 2
 
 
+def test_adaptive_keep_logs_attachments(tmp_path):
+    """keep_logs=True attaches dill payloads of the prospectives, the
+    trial's realized static options and the loss spec to every trial
+    (reference main.py:751-756 observable contract)."""
+    import dill
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                           max_evals=2, num_samples=8,
+                           num_gd_iterations=300, rotation_gates='xz',
+                           num_gd_iterations_at_verification=500,
+                           keep_logs=True)
+    s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_logs',
+                   mesh=None)
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'logs'), verbose=False)
+    for rec in results.trials.results:
+        att = rec['attachments']
+        assert set(att) == {'prospective_decompositions', 'static_options',
+                            'unitary_loss_func'}
+        so = dill.loads(att['static_options'])
+        assert so.num_cp_gates == rec['num_cp_gates']
+        assert so.r == rec['r']
+        pro = dill.loads(att['prospective_decompositions'])
+        assert [cz for cz, _ in pro] == \
+            [cz for cz, _ in rec['prospective_decompositions']]
+        loss_fn = dill.loads(att['unitary_loss_func'])
+        assert loss_fn.numpy(np.asarray(gates.cz_mat)) == \
+            pytest.approx(0.0, abs=1e-10)
+    # default (keep_logs=False) attaches nothing and drops the raw
+    # prospectives from the persisted trial dict
+    opts_off = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                               max_evals=1, num_samples=8,
+                               num_gd_iterations=300, rotation_gates='xz',
+                               num_gd_iterations_at_verification=500)
+    s2 = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_nolog',
+                    mesh=None)
+    res2 = s2.adaptive(opts_off, save_results=False, verbose=False)
+    assert 'attachments' not in res2.trials.results[0]
+    assert 'prospective_decompositions' not in res2.trials.results[0]
+
+
 def test_losspec_kinds():
     u = np.asarray(gates.cz_mat, dtype=complex)
     spec = LossSpec('hst', target=u)
@@ -249,19 +289,45 @@ def test_adaptive_parallel_trials():
         [t['random_seed'] for t in res2.trials.results]
 
 
-def test_working_set_warning():
-    """The measured VMEM-crash regime (RESULTS_r3 §1) warns before
-    dispatch; the state-prep kind (column-only build) is exempt."""
+def test_working_set_guard():
+    """The measured VMEM-crash regime (RESULTS_r3 §1/§18) is a hard error
+    by default, a warning only under unsafe_batch=True, and the state-prep
+    kind (column-only build) is exempt. The k-scaled envelope catches the
+    5q paper-scale crash point (effective batch 4096 at k~50) that the
+    raw tensor size alone misses."""
     import warnings as w
     from cpflow_tpu.ops.gates import multi_controlled_x
 
     s = Synthesize([[i, i + 1] for i in range(5)],
                    target_unitary=multi_controlled_x(6), label='ws6',
                    mesh=None)
+    # 6q @ 4096 = 134 MB tensors: the measured crash point -> hard error
+    with pytest.raises(ValueError, match='crash'):
+        s._check_working_set(4096)
+    opts = StaticOptions(num_cp_gates=20, accepted_num_cz_gates=99,
+                         num_samples=4096)
+    with pytest.raises(ValueError, match='unsafe_batch'):
+        s._check_working_set(4096, opts)
+    # explicit opt-out restores the legacy warn-and-proceed behavior
+    opts_unsafe = StaticOptions(num_cp_gates=20, accepted_num_cz_gates=99,
+                                num_samples=4096, unsafe_batch=True)
     with w.catch_warnings(record=True) as rec:
         w.simplefilter('always')
-        s._check_working_set(4096)   # 134 MB tensors: the crash point
+        s._check_working_set(4096, opts_unsafe)
     assert any('crash' in str(r.message) for r in rec)
+
+    # 5q paper-scale k: effective batch 4096 at k=50 crashed a worker
+    # (RESULTS_r3 §18) while k=20 was fine -> only the former errors
+    s5 = Synthesize([[i, i + 1] for i in range(4)],
+                    target_unitary=multi_controlled_x(5), label='ws5',
+                    mesh=None)
+    ok_opts = StaticOptions(num_cp_gates=20, accepted_num_cz_gates=99,
+                            num_samples=4096)
+    s5._check_working_set(4096, ok_opts)  # 33.5 MB @ k=20: measured fine
+    bad_opts = StaticOptions(num_cp_gates=50, accepted_num_cz_gates=99,
+                             num_samples=4096)
+    with pytest.raises(ValueError, match='crash'):
+        s5._check_working_set(4096, bad_opts)
 
     state = np.zeros(64, dtype=np.complex64)
     state[0] = 1.0
@@ -271,3 +337,49 @@ def test_working_set_warning():
         w.simplefilter('always')
         s2._check_working_set(4096)
     assert not rec
+
+
+def test_roofline_model_pins_envelope_counts():
+    """The analytic flop/byte model (utils/profiling.roofline_model) must
+    stay in lockstep with the workload benchmarks/envelope.py actually
+    measures (chain layer, K=20 blocks, xyz, reversible) and with the
+    real template structure. Exact values are pinned so any change to the
+    model or the hot path's gate inventory shows up as a diff here and in
+    BENCH_r*.json together (VERDICT r3 item 5)."""
+    from cpflow_tpu.utils.profiling import roofline_model
+    from cpflow_tpu.sim.ansatz_kernel import num_block_angles
+    from cpflow_tpu.topology import chain_layer, fill_layers
+    from benchmarks import envelope
+
+    assert envelope.K == 20
+
+    for n in (3, 4, 5, 6):
+        placements = fill_layers(chain_layer(n), envelope.K)
+        layer, num_layers = placements['layers']
+        num_blocks = len(layer) * num_layers + len(placements['free'])
+        assert num_blocks == envelope.K  # the model's k IS the block count
+
+        m = roofline_model(n, envelope.K, 'xyz', kind='hst', reversible=True)
+        E = 4 ** n
+        # forward: k 4x4 applies (30E) + per-letter block construction
+        # + n surface applies (14E) + hst loss (8E)
+        fwd = envelope.K * (30 * E + 576 * 3) + n * 14 * E + 8 * E
+        assert m['forward_flops'] == fwd
+        # reversible backward: 3 apply-sized passes per gate + contraction
+        bwd = (envelope.K * (60 * E + 32 * E + 576 * 3)
+               + n * (28 * E + 16 * E) + 6 * E)
+        assert m['flops'] == fwd + bwd
+        # HBM round trips: one 16E-byte trip per fusion-ending application
+        assert m['applications'] == (envelope.K + n + 1) + \
+            3 * (envelope.K + n) + 1
+        assert m['hbm_bytes'] == m['applications'] * 16 * E
+
+    # regression pins at the bench.py flagship workload (5q, k=20)
+    m5 = roofline_model(5, 20, 'xyz', kind='hst', reversible=True)
+    assert m5['flops'] == 2_878_976
+    assert m5['hbm_bytes'] == 1_671_168
+    # the state-prep kind builds one column: E = 2^n, 2^n-fold cheaper
+    ms = roofline_model(5, 20, 'xyz', kind='state', reversible=True)
+    assert ms['flops'] < m5['flops'] / 16
+    nba = num_block_angles('cp', 'xyz')
+    assert nba == 7  # 3 up + 3 down rotations + the CP angle
