@@ -20,10 +20,11 @@ def main():
         os.path.basename(p)[:-5]
         for p in glob.glob(os.path.join(_ART, '*.json'))
         if os.path.basename(p)[:-5] not in SKIP)
+    budget = int(os.environ.get('CPFLOW_CFS_BUDGET', 500))
     for label in labels:
         t0 = time.time()
         try:
-            res = search(label, verbose=False)
+            res = search(label, verbose=False, budget=budget)
             row = {'label': label, 'n_angles': res['n_angles'],
                    'unidentified': len(res['unidentified']),
                    'specs': res['specs'] if not res['unidentified'] else None,

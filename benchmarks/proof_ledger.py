@@ -1,0 +1,133 @@
+"""Authoritative proof-attempt registry: one status per committed artifact.
+
+VERDICT r3 weak-item 7: the cyclotomic ledger (exact_proofs.json) lags the
+capability table — quadratic/tower ring proofs live in their own modules
+and certificates, and newly landed beat rows had no recorded attempt. This
+module is the single consolidated view, and tests/test_proof_ledger.py
+pins it: EVERY committed artifact must carry a proof status — a machine
+-checked proof, a >=50-digit closed form, or a documented attempt/
+obstruction. Landing a new artifact without updating this registry fails
+the suite.
+
+Statuses:
+  proven_cyclotomic   machine-checked over Z[zeta_4Q] (exact_proofs.json
+                      certificate; symbolic artifact in artifacts/exact/)
+  proven_ring         machine-checked over a quadratic/tower extension
+                      (modular-CRT or direct; see `proof` pointer)
+  characterized       gauge family characterized, no small-field closed
+                      form exists on any tried slice (documented
+                      obstruction)
+  dfs_stalled         closed-form search attempted, stopped at its DFS
+                      budget with gauge families unresolved
+  unidentified        closed-form search attempted, angles not identified
+                      against the known constant families
+  blocked_on_subblock composite whose proof awaits a sub-block closed form
+  pending             row superseded the swept stream after the last
+                      sweep; attempt scheduled (must not persist past the
+                      round that lands it)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+_ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'artifacts')
+
+# label -> (status, proof/attempt pointer, stream_cz the record refers to)
+PROOF_STATUS = {
+    # -- proven over cyclotomic rings (proofs #1-8, #13; exact_proofs.json)
+    'toffoli4_connected': ('proven_cyclotomic', 'artifacts/exact', 14),
+    'toffoli4_connected_record': ('proven_cyclotomic', 'artifacts/exact', 14),
+    'toffoli4_kite': ('proven_cyclotomic', 'artifacts/exact', 14),
+    'toffoli4_square': ('proven_cyclotomic', 'artifacts/exact', 16),
+    'toffoli4_star': ('proven_cyclotomic', 'artifacts/exact', 16),
+    'toffoli4_chain': ('proven_cyclotomic', 'artifacts/exact', 18),
+    'c3sqrtx_chain': ('proven_cyclotomic', 'artifacts/exact', 18),
+    'c3sqrtx_connected': ('proven_cyclotomic', 'artifacts/exact', 14),
+    'qx_4gt13_92': ('proven_cyclotomic', 'artifacts/exact', 17),
+    # -- proven over quadratic/tower rings (proofs #10-12, #14-20)
+    'relphase_toff4_connected': (
+        'proven_ring', 'exact_relphase_proof (Z[zeta_48][Y], #10)', 6),
+    'relphase_toff4_chain': (
+        'proven_ring', 'exact_relphase_proof generalized (#11)', 11),
+    'qx_alu-v3_34': (
+        'proven_ring', 'exact_relphase_proof.prove_hst (#12)', 14),
+    'toffoli5_connected': (
+        'proven_ring', 'toffoli5_proof modular-CRT (#14)', 37),
+    'toffoli5_connected_composite': (
+        'proven_ring', 'composite_proof Q(zeta_192)[Y] (#15)', 30),
+    'toffoli5_chain_composite': (
+        'proven_ring', 'composite_proof chain (#16)', 48),
+    'qx_alu-v0_26_chain': (
+        'proven_ring', 'exact_relphase_proof.prove_hst (#17)', 25),
+    # proof #18 proves the superseded 24-CX stream (self-contained in
+    # qx_alu-v3_35_chain_certificate.json); the 23-CX queue-16 row has no
+    # attempt yet
+    'qx_alu-v3_35_chain': (
+        'proven_ring_superseded_stream',
+        'qx_tower_proof.certificate_stream (#18, 24-CX stream)', 24),
+    'qx_one-two-three-v1_99': (
+        'proven_ring', 'v199_proof 5-tower compositum (#19)', 46),
+    'qx_4gt13_91_chain': (
+        'proven_ring', 'v199_proof.prove_qx (#20)', 24),
+    # -- characterized obstructions
+    'relphase_toff5_connected': (
+        'characterized',
+        '4-dim gauge family; findpoly certifies no small-field closed form '
+        'on every tried slice (RESULTS_r3 §17)', 14),
+    # -- closed-form search attempted, DFS budget exhausted (RESULTS_r3 §17)
+    'qx_alu-v4_36': ('dfs_stalled', 'closed_form_sweep r3: 11/82 angles '
+                     'unidentified at budget', 27),
+    'qx_4gt5_76': ('dfs_stalled', 'closed_form_sweep r3: 14/71', 20),
+    'qx_4gt5_76_chain': ('dfs_stalled', 'closed_form_sweep r3: 19/81', 22),
+    'qx_4mod5-v1_24_chain': ('pending',
+                             'r4 sweep queued (26-CX queue-17 row '
+                             'superseded the swept 27, which stalled at '
+                             '47/100)', 26),
+    # -- attempted, not identified against the known constant families
+    'c4sqrtx_connected': ('unidentified', 'closed_form_sweep r3', 36),
+    'qx_4gt10-v1_81': ('unidentified', 'closed_form_sweep r3', 36),
+    'qx_aj-e11_165': ('unidentified', 'closed_form_sweep r3', 23),
+    'qx_alu-v2_32': ('unidentified', 'closed_form_sweep r3', 30),
+    'qx_one-two-three-v0_98': ('unidentified', 'closed_form_sweep r3', 44),
+    'toffoli5_connected_xz': ('unidentified', 'closed_form_sweep r3', 36),
+    # -- composites blocked on a sub-block
+    'toffoli6_connected_composite': (
+        'blocked_on_subblock',
+        'needs the relphase toffoli-5 closed form (characterized '
+        'obstruction above)', 68),
+    # -- new rows superseding the swept stream; round-4 sweep scheduled
+    'qx_one-two-three-v2_100': ('pending', 'r4 sweep queued (25-CX row '
+                                'superseded the swept 27)', 25),
+}
+
+
+def consolidate() -> dict:
+    """Cross-check the registry against the committed artifacts and the
+    cyclotomic ledger; returns {label: {status, pointer, stream_cz,
+    artifact_cz, cz_matches}}."""
+    ledger = json.load(open(os.path.join(_ART, 'exact_proofs.json')))
+    out = {}
+    for p in sorted(glob.glob(os.path.join(_ART, '*.json'))):
+        label = os.path.basename(p)[:-5]
+        if label == 'exact_proofs':
+            continue
+        meta = json.load(open(p))
+        status, pointer, stream_cz = PROOF_STATUS.get(
+            label, ('MISSING', '', None))
+        out[label] = {
+            'status': status, 'pointer': pointer, 'stream_cz': stream_cz,
+            'artifact_cz': meta['cz_count'],
+            'cz_matches': stream_cz == meta['cz_count'],
+            'in_cyclotomic_ledger': label in ledger,
+            'cyclotomic_proven': bool(ledger.get(label, {}).get('proven')
+                                      or ledger.get(label, {})
+                                      .get('certificate')),
+        }
+    return out
+
+
+if __name__ == '__main__':
+    print(json.dumps(consolidate(), indent=1))
