@@ -133,12 +133,45 @@ def rerun_stage(name: str) -> dict:
     anz = s._ansatz(options.get_static(k, r))
     iters = int(os.environ.get('CPFLOW_REVERIFY_ITERS', 30000))
 
+    cand_angles = ev.angles[pros]
+    if os.environ.get('CPFLOW_REVERIFY_ANNEAL'):
+        # penalty-annealed rescue: the hard CP projection can throw a
+        # low-loss candidate out of its basin (measured on the 34-CZ
+        # toffoli-5 prospective: raw 6.6e-5 -> 9.6e-3 frozen). Instead
+        # drive the CP angles toward {0, pi} SMOOTHLY by re-optimizing the
+        # raw candidate under progressively larger penalty weights, then
+        # hand the settled point to the standard projection.
+        from cpflow_tpu.optimize import engine
+        from cpflow_tpu.sim import batched as bt
+        import jax.numpy as jnp
+        cur = cand_angles
+        for mult in (8.0, 32.0, 128.0):
+            regloss_fn = bt.make_batched_regloss(
+                s.num_qubits, 'cp', lead['rotation_gates'], anz.placements,
+                s.unitary_loss_func, cp_mask=anz.cp_mask,
+                regularization_func=s.cp_regularization_func,
+                r=r * mult, reversible=True)
+
+            # one jitted executable per r stage: fused_adam_sweep contains
+            # eager-unfriendly complex ops (the tunnel backend only
+            # executes them under jit)
+            def _stage(p0, _fn=regloss_fn):
+                best_p, _, best_loss = engine.fused_adam_sweep(
+                    _fn, p0, learning_rate=0.003,
+                    num_iterations=iters // 3)
+                return best_p, best_loss
+            best_p, best_loss = jax.jit(_stage)(jnp.asarray(cur.T))
+            cur = np.asarray(best_p).T
+            print(f"[reverify:{name}] anneal r*{mult:g}: losses "
+                  f"{np.sort(np.asarray(best_loss))[:4]}", flush=True)
+        cand_angles = cur
+
     # stage 1: standard projection, extended budget
     import dataclasses
     o1 = dataclasses.replace(options,
                              num_gd_iterations_at_verification=iters,
                              learning_rate_at_verification=0.01)
-    ver = s._verify(anz, ev.angles[pros], o1)
+    ver = s._verify(anz, cand_angles, o1)
     # stage 2: low-lr refinement warm-started from stage 1 (projection of
     # already-snapped CP angles is idempotent, so the frozen set is stable)
     o2 = dataclasses.replace(options,
@@ -146,6 +179,7 @@ def rerun_stage(name: str) -> dict:
                              learning_rate_at_verification=0.001)
     ver2 = s._verify(anz, ver.best_angles, o2)
 
+    suffix = '_anneal' if os.environ.get('CPFLOW_REVERIFY_ANNEAL') else ''
     report = []
     out_res = None
     for pos, i in enumerate(pros):
@@ -161,8 +195,9 @@ def rerun_stage(name: str) -> dict:
 
     # persist every candidate (converged or not) for the host f64 polish
     from cpflow_tpu.api import Results
-    res = Results(s.unitary_loss_func, s.layer, label=f'reverify_{name}',
-                  save_to=os.path.join(_RESULTS, f'reverify_{name}'))
+    res = Results(s.unitary_loss_func, s.layer,
+                  label=f'reverify_{name}{suffix}',
+                  save_to=os.path.join(_RESULTS, f'reverify_{name}{suffix}'))
     ds = []
     for pos in range(len(pros)):
         d = s._make_decomposition(anz, ver2.best_angles[pos],
@@ -186,9 +221,10 @@ def rerun_stage(name: str) -> dict:
                       f"missing; kept in reverify_{name})"
         print(f"[reverify:{name}] {out_res}", flush=True)
 
-    out = {'lead': name, 'k': k, 'r': r, 'candidates': report,
-           'verified': out_res}
-    with open(os.path.join(_RESULTS, f'reverify_{name}.json'), 'w') as f:
+    out = {'lead': name, 'k': k, 'r': r, 'anneal': bool(suffix),
+           'candidates': report, 'verified': out_res}
+    with open(os.path.join(_RESULTS, f'reverify_{name}{suffix}.json'),
+              'w') as f:
         json.dump(out, f, indent=1)
     return out
 
@@ -205,7 +241,11 @@ def polish(name: str) -> dict:
     from benchmarks.polish_results import _adam_polish
 
     lead = LEADS[name]
-    res = Results.load(os.path.join(_RESULTS, f'reverify_{name}'))
+    path = os.path.join(_RESULTS, f'reverify_{name}')
+    if os.environ.get('CPFLOW_REVERIFY_ANNEAL') and \
+            os.path.exists(path + '_anneal'):
+        path += '_anneal'
+    res = Results.load(path)
     loss_fn = host_loss_adapter(res.loss_function)
     rows = []
     for d in sorted(res.decompositions, key=lambda d: (d.cz_count, d.loss)):

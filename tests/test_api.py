@@ -142,6 +142,9 @@ def test_adaptive_mini_run(tmp_path):
     assert len(results.trials.results) == 3
     for rec in results.trials.results:
         assert 'loss' in rec and 'num_cp_gates' in rec and 'r' in rec
+        # default keep_logs=False: no attachments, raw prospectives dropped
+        assert 'attachments' not in rec
+        assert 'prospective_decompositions' not in rec
     # resume: asking for 4 evals continues from the saved 3
     opts4 = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
                             max_evals=4, num_samples=8,
@@ -159,11 +162,11 @@ def test_adaptive_keep_logs_attachments(tmp_path):
     trial's realized static options and the loss spec to every trial
     (reference main.py:751-756 observable contract)."""
     import dill
-    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
-                           max_evals=2, num_samples=8,
-                           num_gd_iterations=300, rotation_gates='xz',
-                           num_gd_iterations_at_verification=500,
-                           keep_logs=True)
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=2,
+                           max_evals=1, num_samples=4,
+                           num_gd_iterations=60, rotation_gates='x',
+                           num_gd_iterations_at_verification=60,
+                           entry_loss=2.0, keep_logs=True)
     s = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_logs',
                    mesh=None)
     results = s.adaptive(opts, save_results=True,
@@ -181,17 +184,7 @@ def test_adaptive_keep_logs_attachments(tmp_path):
         loss_fn = dill.loads(att['unitary_loss_func'])
         assert loss_fn.numpy(np.asarray(gates.cz_mat)) == \
             pytest.approx(0.0, abs=1e-10)
-    # default (keep_logs=False) attaches nothing and drops the raw
-    # prospectives from the persisted trial dict
-    opts_off = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
-                               max_evals=1, num_samples=8,
-                               num_gd_iterations=300, rotation_gates='xz',
-                               num_gd_iterations_at_verification=500)
-    s2 = Synthesize(CZ_LAYER, target_unitary=gates.cz_mat, label='cz_nolog',
-                    mesh=None)
-    res2 = s2.adaptive(opts_off, save_results=False, verbose=False)
-    assert 'attachments' not in res2.trials.results[0]
-    assert 'prospective_decompositions' not in res2.trials.results[0]
+    # (the keep_logs=False default is pinned inside test_adaptive_mini_run)
 
 
 def test_losspec_kinds():
