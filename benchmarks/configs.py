@@ -233,6 +233,13 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
     # beat hunts: override the early-stop goal below the config's own
     # (reference_cz, the reported paper baseline, is never overridden)
     target_cz = int(os.environ.get('CPFLOW_TARGET_CZ', target_cz))
+    # depth/window overrides for resumed hunts: 6q at the default 2000 GD
+    # iterations under-converges (best raw batch loss ~1e-2 vs entry 1e-3
+    # across 300 graded evals, RESULTS_r4 section 13) — deeper descent and
+    # a posterior-informed k window are the measured levers
+    num_iters = int(os.environ.get('CPFLOW_NUM_ITERS', 0))
+    min_k = int(os.environ.get('CPFLOW_MIN_K', min_k))
+    max_k = int(os.environ.get('CPFLOW_MAX_K', max_k))
     # N TPE suggestions per device dispatch (measured 1.68x evals/hour at
     # N=4 on the tab-toff4 workload, RESULTS_r3); default stays sequential
     parallel_trials = int(os.environ.get('CPFLOW_PARALLEL_TRIALS', 1))
@@ -256,7 +263,8 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
         min_num_cp_gates=min_k, max_num_cp_gates=max_k,
         num_samples=num_samples, max_evals=max_evals, bucketed=True,
         rotation_gates=rotation_gates, parallel_trials=parallel_trials,
-        target_num_cz_gates=target_cz, stop_if_target_reached=True)
+        target_num_cz_gates=target_cz, stop_if_target_reached=True,
+        **({'num_gd_iterations': num_iters} if num_iters else {}))
     results = s.adaptive(options, save_results=True, save_to=save_to,
                          verbose=bool(os.environ.get('CPFLOW_VERBOSE')))
     export_summary(results, label)

@@ -31,8 +31,10 @@ RESULTS_DIR = os.path.join(_HERE, 'results')
 SUMMARY_DIR = os.path.join(_HERE, 'trial_summaries')
 
 # the per-trial keys the adaptive loop reads back (api.py result_from_ev
-# schema minus the non-serializable prospective_decompositions)
-_KEYS = ('loss', 'status', 'num_cp_gates', 'r', 'random_seed', 'cz_counts')
+# schema minus the non-serializable prospective_decompositions);
+# min_raw_loss (r4, RESULTS_r4 section 11) is optional for old summaries
+_KEYS = ('loss', 'status', 'num_cp_gates', 'r', 'random_seed', 'cz_counts',
+         'min_raw_loss')
 
 
 def summary_path(label: str) -> str:

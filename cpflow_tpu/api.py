@@ -65,6 +65,7 @@ class LossSpec:
         self.fn = fn
         self.wires = wires
         self.num_qubits = num_qubits
+        self._jit_fn = None  # lazy jax.jit of custom fn (see numpy())
 
     def __call__(self, u):
         if self.kind == 'hst':
@@ -98,8 +99,32 @@ class LossSpec:
         if self.kind == 'modulo_diagonal':
             return float(losses.disc_modulo_diagonal(
                 t, np.asarray(u), self.num_qubits, self.wires, xp=np))
-        # custom callables carry no substrate info: fall back to jax
-        return float(self(u))
+        # Custom callables carry no substrate info: fall back to jax —
+        # but ALWAYS under jit, and NEVER move a complex array across the
+        # host<->device boundary. Remote TPU backends (the axon tunnel)
+        # neither run eager complex primitives nor transfer complex
+        # dtypes in either direction, so both an eager self.fn(u) and a
+        # jit fed the complex host array crash mid-pipeline the first
+        # time a decomposition is built from a custom-loss run (found by
+        # the full-budget tutorial cell 26, RESULTS_r4 §6; the transfer
+        # failure surfaces asynchronously at the float() readout). The
+        # split re/im float inputs are recombined on-device inside the
+        # trace — complex HLO executes fine, only transfers don't — and
+        # the real-scalar readback is transfer-safe.
+        if self._jit_fn is None:
+            import jax
+            fn = self.fn
+            self._jit_fn = jax.jit(lambda re, im: fn(re + 1j * im))
+        u = np.asarray(u)
+        return float(self._jit_fn(np.ascontiguousarray(u.real),
+                                  np.ascontiguousarray(u.imag)))
+
+    def __getstate__(self):
+        # never serialize the jit wrapper (it may close over backend
+        # state); it is rebuilt lazily on first numpy() after load
+        state = self.__dict__.copy()
+        state['_jit_fn'] = None
+        return state
 
     def __repr__(self):
         shape = None if self.target is None else self.target.shape
@@ -875,6 +900,22 @@ class Synthesize:
             score_val = np.sum(2.0 ** (-np.array(cz_counts, dtype=np.float64)))
             with np.errstate(divide='ignore'):
                 score = float(np.log2(score_val / options.num_samples))
+            min_raw_loss = float(np.nanmin(ev.loss)) if np.size(ev.loss) \
+                else float('inf')
+            if not cz_counts:
+                # Graded fallback for hard targets (RESULTS_r4 section 11):
+                # with zero prospectives the reference-shaped score is
+                # log2(0) = +inf and EVERY such trial ties, so TPE gets no
+                # signal at all — 270/270 toffoli-6 trials were +inf across
+                # rounds 2-4. Rank empty trials by how close the best
+                # sample in the batch got instead. The 1000 offset keeps
+                # any empty trial strictly worse than any trial with a
+                # prospective (real scores are <= max_cz + log2(N) ~ 100),
+                # and 10*log10(min batch loss) in [-120, 0] preserves a
+                # monotone posterior over (k, r) below the offset.
+                score = -(1000.0 + 10.0 * math.log10(
+                    max(min_raw_loss, 1e-12))) \
+                    if math.isfinite(min_raw_loss) else -float('inf')
 
             log(f'score: {-score}, cz counts of prospective results: {cz_counts}')
 
@@ -883,6 +924,7 @@ class Synthesize:
                 'status': 'ok',
                 'random_seed': random_seed,
                 'cz_counts': cz_counts,
+                'min_raw_loss': min_raw_loss,
                 'num_cp_gates': num_cp_gates,
                 'r': r,
                 'layer': self.layer,

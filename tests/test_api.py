@@ -157,6 +157,42 @@ def test_adaptive_mini_run(tmp_path):
     assert len(hp) == 4 and len(hp[0]) == 2
 
 
+def test_adaptive_graded_fallback_score(tmp_path):
+    """Trials with ZERO prospectives must carry a finite, graded TPE score
+    (1000 + 10*log10 of the best raw batch loss) instead of +inf, so hard
+    targets (toffoli-6) still shape the posterior — RESULTS_r4 section 11.
+    entry_loss=0 forces the empty-prospective path on a generic Haar
+    target (whose loss is irrational, never exactly 0.0 in f32)."""
+    opts = AdaptiveOptions(min_num_cp_gates=1, max_num_cp_gates=3,
+                           max_evals=2, num_samples=8,
+                           num_gd_iterations=200, entry_loss=0.0,
+                           num_gd_iterations_at_verification=200)
+    rng = np.random.default_rng(7)
+    haar, _ = np.linalg.qr(rng.normal(size=(4, 4))
+                           + 1j * rng.normal(size=(4, 4)))
+    s = Synthesize(CZ_LAYER, target_unitary=haar, label='cz_hard',
+                   mesh=None)
+    results = s.adaptive(opts, save_results=True,
+                         save_to=str(tmp_path / 'hard'), verbose=False)
+    for rec in results.trials.results:
+        assert rec['cz_counts'] == []
+        assert np.isfinite(rec['loss'])
+        assert rec['loss'] > 900.0  # strictly worse than any real score
+        # graded: the score is the documented function of min_raw_loss
+        expect = 1000.0 + 10.0 * np.log10(max(rec['min_raw_loss'], 1e-12))
+        assert rec['loss'] == pytest.approx(expect, rel=1e-6)
+    # summaries round-trip the new key
+    from benchmarks.trials_store import export_summary, load_summary_trials
+    export_summary(results, 'cz_hard_test')
+    try:
+        trials = load_summary_trials('cz_hard_test')
+        assert all('min_raw_loss' in r for r in trials.results)
+    finally:
+        os.remove(os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), 'benchmarks',
+            'trial_summaries', 'cz_hard_test.json'))
+
+
 def test_adaptive_keep_logs_attachments(tmp_path):
     """keep_logs=True attaches dill payloads of the prospectives, the
     trial's realized static options and the loss spec to every trial
@@ -194,6 +230,41 @@ def test_losspec_kinds():
     assert spec.numpy(u) == pytest.approx(0.0, abs=1e-12)
     spec_d = LossSpec('disc', target=u)
     assert spec_d.numpy(u) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_losspec_custom_fn_runs_under_jit():
+    """Custom unitary_loss_func must be evaluated COMPILED, never eagerly,
+    and no complex array may cross the host<->device boundary: remote TPU
+    backends (axon tunnel) implement neither eager complex primitives nor
+    complex transfers, which crashed the full-budget tutorial cell 26
+    twice (RESULTS_r4 section 6)."""
+    seen = []
+
+    def fn(u):
+        seen.append((type(u).__name__, str(u.dtype)))
+        return 1 - jnp.abs(u[0, 0]) ** 2
+
+    spec = LossSpec('custom', fn=fn)
+    # non-trivial imaginary part: the split re/im path must recombine
+    u = np.diag(np.exp(1j * np.arange(4))).astype(np.complex64)
+    assert spec.numpy(u) == pytest.approx(0.0, abs=1e-6)
+    # the fn saw a COMPLEX tracer (jit, recombined on-device from the
+    # float re/im inputs), not a concrete eager array
+    assert seen and all('Tracer' in t for t, _ in seen)
+    assert all(dt.startswith('complex') for _, dt in seen)
+    # the jit wrapper itself takes only float inputs (transfer-safe)
+    import jax
+    for leaf in jax.tree_util.tree_leaves(
+            spec._jit_fn.lower(u.real, u.imag).args_info):
+        assert 'complex' not in str(leaf.dtype)
+    # the jit wrapper is cached: a second call does not retrace
+    spec.numpy(u)
+    assert len(seen) == 1
+    # dill roundtrip drops the wrapper and rebuilds it lazily
+    import dill
+    spec2 = dill.loads(dill.dumps(spec))
+    assert spec2._jit_fn is None
+    assert spec2.numpy(u) == pytest.approx(0.0, abs=1e-6)
 
 
 @pytest.mark.slow
