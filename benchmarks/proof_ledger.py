@@ -90,8 +90,6 @@ PROOF_STATUS = {
     'c4sqrtx_connected': ('unidentified', 'closed_form_sweep r3', 36),
     'qx_4gt10-v1_81': ('unidentified', 'closed_form_sweep r3', 36),
     'qx_aj-e11_165': ('unidentified', 'closed_form_sweep r3', 23),
-    'qx_alu-v2_32': ('unidentified', 'closed_form_sweep r3', 30),
-    'qx_one-two-three-v0_98': ('unidentified', 'closed_form_sweep r3', 44),
     'toffoli5_connected_xz': ('unidentified', 'closed_form_sweep r3', 36),
     # -- composites blocked on a sub-block
     'toffoli6_connected_composite': (
@@ -101,6 +99,17 @@ PROOF_STATUS = {
     # -- new rows superseding the swept stream; round-4 sweep scheduled
     'qx_one-two-three-v2_100': ('pending', 'r4 sweep queued (25-CX row '
                                 'superseded the swept 27)', 25),
+    # -- queue-19e beat rows (RESULTS_r4 section 12)
+    'toffoli5_connected_record': (
+        'pending', 'r4 sweep: FULL closed form found (pi-rationals + '
+        'w1/w2/w3/q1, the proven sqrt2 tower family) — ring proof '
+        'scheduled this round', 35),
+    'qx_alu-v2_32': (
+        'pending', 'r4 sweep: FULL closed form found (pi-rationals + '
+        'magic family, thirds) — ring proof scheduled this round', 25),
+    'qx_one-two-three-v0_98': (
+        'unidentified', 'closed_form_sweep r4 (43-CX row): angles not '
+        'rational, no family match at budget', 43),
 }
 
 
