@@ -32,10 +32,23 @@ _RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results')
 
 
 def _best_circuit(label):
-    from cpflow_tpu.api import Results
-    res = Results.load(os.path.join(_RESULTS, label))
-    best = min(res.decompositions, key=lambda d: (d.cz_count, d.loss))
-    return best.circuit, best.cz_count
+    """Best stored block circuit: the Results pickle when present, else
+    rebuilt from the committed artifact JSON (the pickles are gitignored
+    and do not survive VM resets; the artifacts are the durable record)."""
+    path = os.path.join(_RESULTS, label)
+    if os.path.exists(path):
+        from cpflow_tpu.api import Results
+        res = Results.load(path)
+        best = min(res.decompositions, key=lambda d: (d.cz_count, d.loss))
+        return best.circuit, best.cz_count
+    from cpflow_tpu.circuits.ir import Circuit
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'artifacts', f'{label}.json')
+    meta = json.load(open(art))
+    qc = Circuit(meta['num_qubits'])
+    for r in meta['instructions']:
+        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+    return qc, meta['cz_count']
 
 
 def build_toffoli5_chain():
@@ -98,6 +111,54 @@ def build_toffoli6_connected():
     return qc, {'w5_cz': w_cz, 'c4sx_cz': c4sx_cz}
 
 
+def build_c5sqrtx_connected():
+    """C5-sqrt-X on full 6q connectivity — the inner block of toffoli-7,
+    itself assembled by the SAME V-recursion one level down with
+    V = X^(1/4):
+
+    C5(X^1/2)(01234->t) = CX^1/4(4,t) . W5^dag . CX^1/4dag(4,t) . W5
+                          . C4(X^1/4)(0123->t)
+
+    (any relative-phase toffoli-5 W5 works; identity verified exactly in
+    tests/test_compat_shim.py). CX^1/4(c,t) = H_t CP(pi/4)(c,t) H_t."""
+    from cpflow_tpu.circuits.ir import Circuit
+
+    w5, w5_cz = _best_circuit('relphase_toff5_connected')
+    c4r, c4r_cz = _best_circuit('c4xroot4_connected')
+
+    qc = Circuit(6)
+    qc.h(5); qc.cp(math.pi / 4, 4, 5); qc.h(5)
+    qc.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(-math.pi / 4, 4, 5); qc.h(5)
+    qc.compose(w5, qubits=[0, 1, 2, 3, 4])
+    qc.compose(c4r, qubits=[0, 1, 2, 3, 5])
+    return qc, {'w5_cz': w5_cz, 'c4xroot4_cz': c4r_cz}
+
+
+def build_toffoli7_connected():
+    """Connected toffoli-7 — TWO recursion levels beyond the reference
+    paper (which stops at toffoli-5):
+
+    C6X(012345->6) = CsqrtX(5,6) . W6^dag . CsqrtX^dag(5,6) . W6
+                     . C5sqrtX(01234->6)
+
+    with W6 any relative-phase toffoli-6 (relphase_toff6_connected) and
+    C5sqrtX the composite above on qubits (0,1,2,3,4,6). Both identity
+    levels verified exactly in tests/test_compat_shim.py."""
+    from cpflow_tpu.circuits.ir import Circuit
+
+    w6, w6_cz = _best_circuit('relphase_toff6_connected')
+    c5sx, meta5 = build_c5sqrtx_connected()
+
+    qc = Circuit(7)
+    qc.h(6); qc.cp(math.pi / 2, 5, 6); qc.h(6)
+    qc.compose(w6.inverse(), qubits=[0, 1, 2, 3, 4, 5])
+    qc.h(6); qc.cp(-math.pi / 2, 5, 6); qc.h(6)
+    qc.compose(w6, qubits=[0, 1, 2, 3, 4, 5])
+    qc.compose(c5sx, qubits=[0, 1, 2, 3, 4, 6])
+    return qc, {'w6_cz': w6_cz, **meta5}
+
+
 def cz_count_exact(qc):
     """CZ count after compiling residual CP and CX gates exactly to
     CZ + 1q (cp -> 2 CZ via the exact realization pass; cx -> H CZ H)."""
@@ -158,7 +219,8 @@ def _report(builder, name, reference_cz, extra, target=None):
 
 def main():
     rows = []
-    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x)
     for builder, name, target, extra, tgt_u in (
         (build_toffoli5_chain, 'toffoli5_chain_composite', 48,
          {'qiskit_reference': 61, 'direct_synthesis_reference': 69}, None),
@@ -169,6 +231,12 @@ def main():
         (build_toffoli6_connected, 'toffoli6_connected_composite', None,
          {'note': 'beyond the reference paper (which stops at toffoli-5)'},
          multi_controlled_x(6)),
+        (build_c5sqrtx_connected, 'c5sqrtx_connected_composite', None,
+         {'note': 'inner block of toffoli-7 (V-recursion with X^(1/4))'},
+         multi_controlled_sqrt_x(6)),
+        (build_toffoli7_connected, 'toffoli7_connected_composite', None,
+         {'note': 'TWO recursion levels beyond the reference paper'},
+         multi_controlled_x(7)),
     ):
         try:
             rows.append(_report(builder, name, target, extra, target=tgt_u))

@@ -449,6 +449,39 @@ def c4sqrtx_connected():
         rotation_gates='xz', target_cz=36, reference_cz=None)
 
 
+def c4xroot4_connected():
+    """Beyond-paper 7q program, block A: C4(X^(1/4)) on full 5q
+    connectivity — the inner block of the toffoli-7 V-recursion
+    C6X = CsqrtX(5,6) W6^dag CsqrtX^dag W6 C5sqrtX, with
+    C5sqrtX = CX^1/4(4,6) W5^dag CX^1/4dag W5 C4(X^1/4) (both identities
+    verified exactly in tests/test_compat_shim.py). Same difficulty
+    class as C4-sqrt-X (36 CZ, c4sqrtx_connected)."""
+    from cpflow_tpu.ops.gates import multi_controlled_x_root
+    from cpflow_tpu.topology import connected_layer
+    return _adaptive_run(
+        'c4xroot4_connected', connected_layer(5),
+        target_unitary=multi_controlled_x_root(5, 4),
+        min_k=22, max_k=45, num_samples=1024, max_evals=80,
+        rotation_gates='xz', target_cz=34, reference_cz=None)
+
+
+def relphase_toff6_connected():
+    """Beyond-paper 7q program, block B: relative-phase toffoli-6
+    (modulo-diagonal loss) on full 6q connectivity — the W6 of the
+    toffoli-7 recursion. The 5q analog costs 14 CZ
+    (relphase_toff5_connected); no published count exists at 6q.
+    num_samples=512 keeps the 6q batch inside the measured VMEM plateau."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=multi_controlled_x(6),
+                    num_qubits=6, wires=[0, 1, 2, 3, 4, 5])
+    return _adaptive_run(
+        'relphase_toff6_connected', connected_layer(6), loss_spec=spec,
+        min_k=10, max_k=40, num_samples=512, max_evals=80,
+        target_cz=16, reference_cz=None)
+
+
 def toffoli4_connected_record():
     """Stretch hunt: a sub-14 connected toffoli-4 (any verified count <=13
     would beat the published best-known 14)."""
@@ -693,6 +726,8 @@ PAPER_TABLE = {
     'toffoli6_connected_direct': toffoli6_connected_direct,
     'relphase_toff5_connected': relphase_toff5_connected,
     'c4sqrtx_connected': c4sqrtx_connected,
+    'c4xroot4_connected': c4xroot4_connected,
+    'relphase_toff6_connected': relphase_toff6_connected,
     'toffoli4_connected_record': toffoli4_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt13_92': qx_4gt13_92,

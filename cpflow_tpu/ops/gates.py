@@ -113,6 +113,20 @@ def multi_controlled_sqrt_x(num_qubits: int) -> np.ndarray:
     return u
 
 
+def multi_controlled_x_root(num_qubits: int, root: int) -> np.ndarray:
+    """C^{n-1}(X^(1/root)): identity except the bottom 2x2 block, the
+    principal root-th root of X. X = H Z H, so X^(1/r) = H diag(1,
+    e^{i pi/r}) H — root=2 reproduces multi_controlled_sqrt_x; root=4 is
+    the inner block of the toffoli-7 V-recursion (benchmarks/composite.py
+    build_c5sqrtx_connected, verified exact in tests/test_compat_shim.py)."""
+    d = 2 ** num_qubits
+    u = np.eye(d, dtype=np.complex64)
+    w = np.exp(1j * np.pi / root)
+    v = 0.5 * np.array([[1 + w, 1 - w], [1 - w, 1 + w]])
+    u[d - 2:, d - 2:] = v.astype(np.complex64)
+    return u
+
+
 u_toff3 = multi_controlled_x(3)
 u_toff4 = multi_controlled_x(4)
 u_toff5 = multi_controlled_x(5)

@@ -158,3 +158,94 @@ def test_toffoli6_connected_composite_identity():
 
     tgt = multi_controlled_x(6).astype(np.complex128)
     assert hst_distance(qc.unitary(), tgt) < 1e-10
+
+
+def test_x_root_gate():
+    """multi_controlled_x_root: root=2 reproduces multi_controlled_sqrt_x,
+    and squaring the X^(1/4) block gives the X^(1/2) block."""
+    import numpy as np
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x_root)
+
+    np.testing.assert_allclose(multi_controlled_x_root(4, 2),
+                               multi_controlled_sqrt_x(4), atol=1e-7)
+    r4 = multi_controlled_x_root(3, 4).astype(np.complex128)
+    np.testing.assert_allclose(r4 @ r4, multi_controlled_sqrt_x(3),
+                               atol=1e-7)
+
+
+def test_c5sqrtx_composite_identity():
+    """Inner level of the toffoli-7 program (benchmarks/composite.py
+    build_c5sqrtx_connected): C5(X^1/2) from C4(X^1/4) + a relative-phase
+    toffoli-5, exact with ideal blocks, tolerant of arbitrary relative
+    phases on qubits 0-4."""
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x,
+                                      multi_controlled_x_root)
+
+    rng = np.random.default_rng(5)
+    w5 = Circuit(5)
+    w5.append('W5', (0, 1, 2, 3, 4),
+              matrix=np.diag(np.exp(1j * rng.uniform(0, 2 * np.pi, 32)))
+              @ multi_controlled_x(5))
+    c4r = Circuit(5)
+    c4r.append('C4XR4', (0, 1, 2, 3, 4),
+               matrix=multi_controlled_x_root(5, 4))
+
+    qc = Circuit(6)
+    qc.h(5); qc.cp(math.pi / 4, 4, 5); qc.h(5)
+    qc.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(-math.pi / 4, 4, 5); qc.h(5)
+    qc.compose(w5, qubits=[0, 1, 2, 3, 4])
+    qc.compose(c4r, qubits=[0, 1, 2, 3, 5])
+
+    tgt = multi_controlled_sqrt_x(6).astype(np.complex128)
+    assert hst_distance(qc.unitary(), tgt) < 1e-10
+
+
+def test_toffoli7_connected_composite_identity():
+    """The toffoli-7 recursion (benchmarks/composite.py
+    build_toffoli7_connected) — TWO levels beyond the reference paper:
+    exact with ideal blocks, tolerant of arbitrary relative phases in
+    BOTH W5 (on qubits 0-4) and W6 (on qubits 0-5)."""
+    import math
+    import numpy as np
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.circuits.passes import hst_distance
+    from cpflow_tpu.ops.gates import (multi_controlled_x,
+                                      multi_controlled_x_root)
+
+    rng = np.random.default_rng(13)
+    w5 = Circuit(5)
+    w5.append('W5', (0, 1, 2, 3, 4),
+              matrix=np.diag(np.exp(1j * rng.uniform(0, 2 * np.pi, 32)))
+              @ multi_controlled_x(5))
+    w6 = Circuit(6)
+    w6.append('W6', (0, 1, 2, 3, 4, 5),
+              matrix=np.diag(np.exp(1j * rng.uniform(0, 2 * np.pi, 64)))
+              @ multi_controlled_x(6))
+    c4r = Circuit(5)
+    c4r.append('C4XR4', (0, 1, 2, 3, 4),
+               matrix=multi_controlled_x_root(5, 4))
+
+    # inner C5(X^1/2) on (0,1,2,3,4 -> 5) of a 6q sub-circuit
+    c5 = Circuit(6)
+    c5.h(5); c5.cp(math.pi / 4, 4, 5); c5.h(5)
+    c5.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
+    c5.h(5); c5.cp(-math.pi / 4, 4, 5); c5.h(5)
+    c5.compose(w5, qubits=[0, 1, 2, 3, 4])
+    c5.compose(c4r, qubits=[0, 1, 2, 3, 5])
+
+    qc = Circuit(7)
+    qc.h(6); qc.cp(math.pi / 2, 5, 6); qc.h(6)
+    qc.compose(w6.inverse(), qubits=[0, 1, 2, 3, 4, 5])
+    qc.h(6); qc.cp(-math.pi / 2, 5, 6); qc.h(6)
+    qc.compose(w6, qubits=[0, 1, 2, 3, 4, 5])
+    qc.compose(c5, qubits=[0, 1, 2, 3, 4, 6])
+
+    tgt = multi_controlled_x(7).astype(np.complex128)
+    assert hst_distance(qc.unitary(), tgt) < 1e-10
