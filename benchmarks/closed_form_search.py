@@ -388,6 +388,37 @@ KNOWN_CLOSED_FORMS = {
          '1/2', '1', '1/2', '1', '1/2', '1/2', '3/4', '-7/12-q1', '1/2',
          '1', '1/2', '1/2', '1', '1/2', '-1/3-q1', '1/2', '1/2', '1/4',
          '5/8', '1/2', '-7/8-w1', '1', '1', '3/4'],
+    # the 35-CZ DIRECT toffoli-5 record row (beats the published 36,
+    # RESULTS_r4 section 12): identified by the round-4 sweep — every
+    # angle is a pi-rational (denominators <= 16) or in the proven
+    # sqrt2 tower family {w1, w2, w3, q1} (mp loss 2.6e-60)
+    'toffoli5_connected_record':
+        ['1', '-1/2', '1/2', '1/2', '1/2', '1/2', '15/16', '1/2', '1',
+         '1/4', '1', '1', '-w1', 'w2', '1', '1/2', '-1/2', '15/16',
+         '1/2', '1/2', '1-w3', '1/8', '1/8', 'w3', '1/2', '1', '1-w2',
+         '1', '9/16', '1', '1', '15/16', '1', '1/2+q1', '1/2',
+         '15/16', '1/2', '1/2', '-1/2+w1', '3/4', '-3/16', '1/2', '1',
+         '-1/2', '3/16', '-1/2', '1/2', '1/2', '1/2', '1/2', '1/2',
+         '1/4', '1/2', 'w1', '1/2', '-1/2', '1-w2', '-1/2', '1/2',
+         '1', '-11/16', '1', 'w3', '3/8', '1/2', '1/2', '-1/2',
+         '15/16', '5/16', '-1/2', '1/2', '1', '1/2', '1/2', '-1/2',
+         '7/8', '3/8', '1/2', '1', '1', '3/4', '1', '1', '5/16',
+         '9/16', '-1/2', '1/2', '-15/16', '-3/4', '1/2', '-1/2',
+         '-1/2', '1/2', '-3/16', '1', '13/16'],
+    # qx_alu-v2_32's 25-CX row (beats the published 30 by five,
+    # RESULTS_r4 section 12): pi-rationals (denominators <= 4 and
+    # thirds) plus the magic family (mp loss -1.1e-31)
+    'qx_alu-v2_32':
+        ['1', '1/2', '1', '1/2', '-1/2', '1/2', '1/2', '-1/2', '1/2',
+         '1', '1/2', '1/2', '1/2', '3/4', '1', '1/2', '1', '1', '3/4',
+         '1/2', '-3/4', '1/2', '3/4', '1/2', '1/2', '-1/2', '1/2',
+         '1', '3/4', '1', '1', '3/4', '3/4', '1', '1/4', '1', 'magic',
+         '2/3', '1', '1/2', '3/4', '1', '1/4', '1', '-1/2',
+         '1/2+magic', '1/2', '-1/2', '1/3', '-1/2', '1/2', '1', '1/2',
+         '1', '1/2', '1', '1', '3/4', '1-magic', '3/4', '-2/3',
+         'magic', '1', '1/2', '-1/2', '1/2', '-1/4', '1/2', '1/2',
+         '1/2', '1/4', '1/2', '1', '-1/2', '1/2', '1', '-1/2', '1/2',
+         '1', '-1/2', '1/2', '1'],
 }
 
 # Constants minted mid-search by algebraic identification of rigid

@@ -101,9 +101,9 @@ PROOF_STATUS = {
                                 'superseded the swept 27)', 25),
     # -- queue-19e beat rows (RESULTS_r4 section 12)
     'toffoli5_connected_record': (
-        'pending', 'r4 sweep: FULL closed form found (pi-rationals + '
-        'w1/w2/w3/q1, the proven sqrt2 tower family) — ring proof '
-        'scheduled this round', 35),
+        'proven_ring', 'v199_proof.prove_qx with exact permutation target '
+        '(#21): modular-CRT over the 3072-dim 5-tower field, 22 primes — '
+        'the 35-CZ direct record row is symbolically EXACT', 35),
     'qx_alu-v2_32': (
         'pending', 'r4 sweep: FULL closed form found (pi-rationals + '
         'magic family, thirds) — ring proof scheduled this round', 25),

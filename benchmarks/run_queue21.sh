@@ -17,6 +17,13 @@ run() {
 echo "=== queue21 start $(date -u +%FT%TZ) ===" >> $LOG
 run 9000 c4xroot4_connected CPFLOW_MAX_EVALS=250
 run 10800 relphase_toff6_connected CPFLOW_MAX_EVALS=300
+# deep 6q at the MEASURED safe depth: 8000-iter dispatches crash the
+# worker at startup (4 reproductions, queue 20b); single-eval probes
+# pass at 4000 and at the narrowed window (RESULTS_r4)
+run 10800 toffoli6_connected_xz CPFLOW_TARGET_CZ=67 CPFLOW_MAX_EVALS=460 \
+    CPFLOW_NUM_ITERS=4000 CPFLOW_MIN_K=66 CPFLOW_MAX_K=78
+run 10800 toffoli6_connected_direct CPFLOW_TARGET_CZ=67 CPFLOW_MAX_EVALS=400 \
+    CPFLOW_NUM_ITERS=4000 CPFLOW_MIN_K=62 CPFLOW_MAX_K=72
 guard composite && {
   echo "--- composite assembly start $(date -u +%T) ---" >> $LOG
   timeout 3600 python -u -m benchmarks.composite >> $LOG 2>&1

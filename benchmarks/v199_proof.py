@@ -537,6 +537,20 @@ def _cyclotomic_target(qasm_name, d):
     return np.array(t.entries, dtype=object), t.e
 
 
+def _toffoli_target(d):
+    """Exact permutation target for the generalized toffoli C^{n-1}X
+    (benchmarks/configs.toffoli5_connected_record): entries are 0/1
+    integers at cyclotomic power 0, scale e=0."""
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    n = d.bit_length() - 1
+    u = np.rint(multi_controlled_x(n).real).astype(int)
+    tent = np.zeros((d, d, M), dtype=object)
+    for i in range(d):
+        for j in range(d):
+            tent[i, j, 0] = int(u[i, j])
+    return tent, 0
+
+
 def prove_qx(label, qasm_name, verbose=True, max_primes=None):
     """Generalization of prove() to any recorded 5q closed-form stream
     whose constants live in F, against a GENERAL exact-cyclotomic qasm
@@ -552,7 +566,10 @@ def prove_qx(label, qasm_name, verbose=True, max_primes=None):
     assert specs == KNOWN_CLOSED_FORMS[label]
     n, d = 5, 32
 
-    tent, te = _cyclotomic_target(qasm_name, d)
+    # qasm_name 'toffoli' selects the exact permutation target (the
+    # 35-CZ direct toffoli-5 record row); anything else is a qasm file
+    tent, te = (_toffoli_target(d) if qasm_name == 'toffoli'
+                else _cyclotomic_target(qasm_name, d))
 
     # float sanity (not part of the certificate): the exact target IS the
     # matrix the artifact was synthesized against
