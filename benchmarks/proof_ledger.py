@@ -105,8 +105,9 @@ PROOF_STATUS = {
         '(#21): modular-CRT over the 3072-dim 5-tower field, 22 primes — '
         'the 35-CZ direct record row is symbolically EXACT', 35),
     'qx_alu-v2_32': (
-        'pending', 'r4 sweep: FULL closed form found (pi-rationals + '
-        'magic family, thirds) — ring proof scheduled this round', 25),
+        'proven_ring', 'v199_proof.prove_qx (#22): modular-CRT against '
+        'the exact qasm target, 14 primes — the 25-CX row (published 30) '
+        'is symbolically exact', 25),
     'qx_one-two-three-v0_98': (
         'unidentified', 'closed_form_sweep r4 (43-CX row): angles not '
         'rational, no family match at budget', 43),
