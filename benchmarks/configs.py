@@ -238,6 +238,11 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
     # across 300 graded evals, RESULTS_r4 section 13) — deeper descent and
     # a posterior-informed k window are the measured levers
     num_iters = int(os.environ.get('CPFLOW_NUM_ITERS', 0))
+    # chained-dispatch depth: effective iterations = segments x num_iters
+    # while each DISPATCH stays at num_iters — the only safe way past the
+    # measured 6q dispatch-depth wall (8000-iter single dispatches crash
+    # the tunnel worker; 4000-iter ones pass, RESULTS_r4 section 15)
+    num_segments = int(os.environ.get('CPFLOW_GD_SEGMENTS', 1))
     min_k = int(os.environ.get('CPFLOW_MIN_K', min_k))
     max_k = int(os.environ.get('CPFLOW_MAX_K', max_k))
     # N TPE suggestions per device dispatch (measured 1.68x evals/hour at
@@ -264,7 +269,8 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
         num_samples=num_samples, max_evals=max_evals, bucketed=True,
         rotation_gates=rotation_gates, parallel_trials=parallel_trials,
         target_num_cz_gates=target_cz, stop_if_target_reached=True,
-        **({'num_gd_iterations': num_iters} if num_iters else {}))
+        **({'num_gd_iterations': num_iters} if num_iters else {}),
+        **({'num_gd_segments': num_segments} if num_segments > 1 else {}))
     results = s.adaptive(options, save_results=True, save_to=save_to,
                          verbose=bool(os.environ.get('CPFLOW_VERBOSE')))
     export_summary(results, label)

@@ -78,14 +78,19 @@ PROOF_STATUS = {
         '4-dim gauge family; findpoly certifies no small-field closed form '
         'on every tried slice (RESULTS_r3 §17)', 14),
     # -- closed-form search attempted, DFS budget exhausted (RESULTS_r3 §17)
-    'qx_alu-v4_36': ('dfs_stalled', 'closed_form_sweep r3: 11/82 angles '
-                     'unidentified at budget', 27),
-    'qx_4gt5_76': ('dfs_stalled', 'closed_form_sweep r3: 14/71', 20),
-    'qx_4gt5_76_chain': ('dfs_stalled', 'closed_form_sweep r3: 19/81', 22),
-    'qx_4mod5-v1_24_chain': ('pending',
-                             'r4 sweep queued (26-CX queue-17 row '
-                             'superseded the swept 27, which stalled at '
-                             '47/100)', 26),
+    'qx_alu-v4_36': ('dfs_stalled', 'closed_form_sweep r3 + r4 retry at '
+                     '4x budget (CPFLOW_CFS_BUDGET=2000): still 11/82 '
+                     'unidentified; r4 minted two new algebraic constants '
+                     '(quartic root 0.44834, sqrt(7)) without closing the '
+                     'gauge family', 27),
+    'qx_4gt5_76': ('dfs_stalled', 'closed_form_sweep r3 + r4 retry at 4x '
+                   'budget: still 14/67 unidentified', 20),
+    'qx_4gt5_76_chain': ('dfs_stalled', 'closed_form_sweep r3 + r4 retry '
+                         'at 4x budget: still 19/81 unidentified', 22),
+    'qx_4mod5-v1_24_chain': ('dfs_stalled',
+                             'closed_form_sweep r4 on the 26-CX row: '
+                             '47/100 angles unidentified at budget '
+                             '(same wall as the superseded 27)', 26),
     # -- attempted, not identified against the known constant families
     'c4sqrtx_connected': ('unidentified', 'closed_form_sweep r3', 36),
     'qx_4gt10-v1_81': ('unidentified', 'closed_form_sweep r3', 36),
@@ -96,9 +101,10 @@ PROOF_STATUS = {
         'blocked_on_subblock',
         'needs the relphase toffoli-5 closed form (characterized '
         'obstruction above)', 68),
-    # -- new rows superseding the swept stream; round-4 sweep scheduled
-    'qx_one-two-three-v2_100': ('pending', 'r4 sweep queued (25-CX row '
-                                'superseded the swept 27)', 25),
+    # -- new rows superseding the swept stream; swept r4
+    'qx_one-two-three-v2_100': ('dfs_stalled', 'closed_form_sweep r4 on '
+                                'the 25-CX row: 15/75 angles unidentified '
+                                'at budget', 25),
     # -- queue-19e beat rows (RESULTS_r4 section 12)
     'toffoli5_connected_record': (
         'proven_ring', 'v199_proof.prove_qx with exact permutation target '
@@ -111,6 +117,11 @@ PROOF_STATUS = {
     'qx_one-two-three-v0_98': (
         'unidentified', 'closed_form_sweep r4 (43-CX row): angles not '
         'rational, no family match at budget', 43),
+    # -- toffoli-7 program block A (queue 21, RESULTS_r4)
+    'c4xroot4_connected': ('unidentified', 'exact_proofs r4: angles not '
+                           'pi-rational (the xz row lands off the '
+                           'zeta_64-class grid the c4sqrtx chain row sits '
+                           'on); closed_form_sweep is the follow-up', 38),
 }
 
 

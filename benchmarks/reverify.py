@@ -108,7 +108,7 @@ def rerun_stage(name: str) -> dict:
           f"recorded cz_counts={sorted(trial['cz_counts'])[:8]}", flush=True)
 
     s, options = _synthesize_and_options(lead)
-    stage, anz_max = s._bucketed_stage(options)
+    stage, anz_max = s._staged_run(options)
     p_k = 3 * s.num_qubits + k * anz_max.num_block_angles
     active = np.zeros(anz_max.num_angles, dtype=np.float32)
     active[:p_k] = 1.0

@@ -361,6 +361,16 @@ class BasicOptions:
     # ValueError to the legacy warning. A crashed worker can take the
     # shared backend down for hours — never set this on shared hardware.
     unsafe_batch: bool = False
+    # num_gd_segments > 1 chains that many dispatches of the SAME compiled
+    # num_gd_iterations sweep, each resuming from the previous segment's
+    # best-so-far parameters (fresh Adam moments per segment). Effective
+    # descent depth = segments x num_gd_iterations WITHOUT lengthening the
+    # single-dispatch program — the lever for the measured 6q dispatch-depth
+    # wall (8000-iter single dispatches crash the v5e tunnel worker while
+    # 4000-iter ones pass, RESULTS_r4 §15). Best-so-far tracking makes each
+    # segment's result at least as good as the previous one's. Currently
+    # honored by the bucketed adaptive stage (the hunt hot path).
+    num_gd_segments: int = 1
 
 
 @dataclass
@@ -733,11 +743,15 @@ class Synthesize:
         iters, lr = options.num_gd_iterations, options.learning_rate
         cp_dist, threshold = options.cp_distribution, options.threshold_cp
 
-        def stage(seed, r, active):
+        def stage(seed, r, active, params_in, resume):
             prng = jax.random.PRNGKey(seed)
             inits = cand.generate_initial_angles_batch(
                 prng, num_angles, cp_mask_j, cp_dist=cp_dist, batch_size=batch)
             inits = inits * active[None, :]
+            # resume > 0: continue descent from a previous segment's best
+            # parameters instead of fresh PRNG draws (num_gd_segments
+            # chaining). Both branches are cheap so a select suffices.
+            inits = jnp.where(resume > 0, params_in, inits)
             if sharding is not None:
                 inits = jax.lax.with_sharding_constraint(inits, sharding)
             grad_mask = jnp.broadcast_to(active[:, None], (num_angles, batch))
@@ -753,9 +767,36 @@ class Synthesize:
                                threshold=threshold).sum(axis=0).astype(jnp.int32)
             return cz, best_loss, best_p.T
 
-        fn = jax.jit(jax.vmap(stage)) if vmapped else jax.jit(stage)
+        fn = (jax.jit(jax.vmap(stage, in_axes=(0, 0, 0, 0, None)))
+              if vmapped else jax.jit(stage))
         cache[key] = (fn, anz)
         return cache[key]
+
+    def _staged_run(self, options, vmapped: bool = False):
+        """3-arg (seed, r, active) wrapper over the bucketed stage that
+        chains ``options.num_gd_segments`` dispatches of the one compiled
+        executable, feeding each segment the previous segment's best-so-far
+        parameters (which stay on device between dispatches). At the default
+        1 segment the call stream is identical to the pre-chaining stage —
+        the determinism contract benchmarks/reverify.py relies on."""
+        fn, anz = self._bucketed_stage(options, vmapped=vmapped)
+        batch = mesh_lib.padded_batch_size(options.num_samples, self.mesh)
+        num_angles = anz.num_angles
+        segments = max(1, int(getattr(options, 'num_gd_segments', 1) or 1))
+
+        def run(seed, r, active):
+            if vmapped:
+                z = jnp.zeros((np.shape(seed)[0], batch, num_angles),
+                              dtype=config.real_dtype)
+            else:
+                z = jnp.zeros((batch, num_angles), dtype=config.real_dtype)
+            cz, loss, angles = fn(seed, r, active, z, jnp.float32(0.0))
+            for _ in range(segments - 1):
+                cz, loss, angles = fn(seed, r, active, angles,
+                                      jnp.float32(1.0))
+            return cz, loss, angles
+
+        return run, anz
 
     def _verify(self, anz: Ansatz, angles_batch: np.ndarray,
                 options: BasicOptions) -> cand.VerifiedBatch:
@@ -952,7 +993,7 @@ class Synthesize:
             if options.bucketed:
                 # one executable for every (k, r): tail blocks of the padded
                 # template frozen at identity via the runtime active mask
-                stage, anz_max = self._bucketed_stage(options)
+                stage, anz_max = self._staged_run(options)
                 p_k = 3 * self.num_qubits + num_cp_gates * anz_max.num_block_angles
                 active = np.zeros(anz_max.num_angles, dtype=np.float32)
                 active[:p_k] = 1.0
@@ -970,7 +1011,7 @@ class Synthesize:
             """Evaluate several (seed, (k, r)) suggestions in ONE device
             dispatch via the vmapped bucketed stage; one result dict each
             (same schema as objective)."""
-            stage, anz_max = self._bucketed_stage(options, vmapped=True)
+            stage, anz_max = self._staged_run(options, vmapped=True)
             n = len(suggestions)
             seeds = jnp.asarray([s for s, _ in suggestions], dtype=jnp.uint32)
             rs = jnp.asarray([float(v[1]) for _, v in suggestions],

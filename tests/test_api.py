@@ -223,6 +223,49 @@ def test_adaptive_keep_logs_attachments(tmp_path):
     # (the keep_logs=False default is pinned inside test_adaptive_mini_run)
 
 
+def test_num_gd_segments_chains_descent():
+    """num_gd_segments=S chains S dispatches of the ONE compiled
+    num_gd_iterations sweep, each resuming from the previous best-so-far
+    parameters — effective depth S x iters without lengthening the
+    single-dispatch program (the measured 6q dispatch-depth wall,
+    RESULTS_r4 section 15). At r=0 regloss == loss, so best-so-far
+    tracking makes the chained per-restart losses elementwise <= the
+    single-segment ones; segments=1 must be bit-identical to the
+    pre-chaining stage (the benchmarks/reverify.py determinism contract)."""
+    from cpflow_tpu.ops.gates import u_ccz3
+    from cpflow_tpu.topology import chain_layer
+
+    s = Synthesize(chain_layer(3), target_unitary=u_ccz3, label='segchain')
+    base = dict(min_num_cp_gates=8, max_num_cp_gates=8, num_samples=8,
+                num_gd_iterations=60, bucketed=True, rotation_gates='xz')
+    run1, anz = s._staged_run(AdaptiveOptions(**base))
+    run3, _ = s._staged_run(AdaptiveOptions(**base, num_gd_segments=3))
+    active = jnp.ones(anz.num_angles, dtype=jnp.float32)
+    seed, r = jnp.asarray(7, dtype=jnp.uint32), jnp.float32(0.0)
+
+    cz1, loss1, ang1 = run1(seed, r, active)
+    cz1b, loss1b, _ = run1(seed, r, active)
+    np.testing.assert_array_equal(np.asarray(loss1), np.asarray(loss1b))
+    cz3, loss3, ang3 = run3(seed, r, active)
+    assert np.all(np.asarray(loss3) <= np.asarray(loss1) + 1e-7)
+    assert float(np.min(loss3)) < float(np.min(loss1))  # 60 iters is far
+    # from converged on ccz, so 3 segments must strictly improve the best
+    assert np.asarray(ang3).shape == np.asarray(ang1).shape
+
+    # vmapped (parallel_trials) variant: same chaining over a trial axis,
+    # agreeing with the non-vmapped chain on the same seed
+    run2, _ = s._staged_run(AdaptiveOptions(**base, num_gd_segments=2))
+    _, loss2, _ = run2(seed, r, active)
+    runv, _ = s._staged_run(
+        AdaptiveOptions(**base, num_gd_segments=2), vmapped=True)
+    czv, lossv, angv = runv(jnp.asarray([7, 8], dtype=jnp.uint32),
+                            jnp.asarray([0.0, 0.0], dtype=jnp.float32),
+                            jnp.stack([active, active]))
+    assert np.asarray(lossv).shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(lossv)[0],
+                               np.asarray(loss2), atol=2e-6)
+
+
 def test_losspec_kinds():
     u = np.asarray(gates.cz_mat, dtype=complex)
     spec = LossSpec('hst', target=u)
