@@ -488,6 +488,26 @@ def relphase_toff6_connected():
         target_cz=16, reference_cz=None)
 
 
+def relphase_toff6_xz():
+    """Block B of the toffoli-7 program, second attempt (queue 22): the
+    xyz hunt (relphase_toff6_connected) came back empty at 300 evals with
+    its posterior pinned at the k-window ceiling (top trials k=39 of max
+    40) and best raw batch loss 1.37 — under-parameterized AND
+    under-converged (RESULTS_r4 sections 13/16). Fresh label with the xz
+    template (Table-3 success-ratio lever), a k window that brackets the
+    5q->6q relphase scaling (14 CZ at 5q), and depth via
+    CPFLOW_NUM_ITERS/CPFLOW_GD_SEGMENTS chaining."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import multi_controlled_x
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=multi_controlled_x(6),
+                    num_qubits=6, wires=[0, 1, 2, 3, 4, 5])
+    return _adaptive_run(
+        'relphase_toff6_xz', connected_layer(6), loss_spec=spec,
+        min_k=18, max_k=56, num_samples=512, max_evals=60,
+        rotation_gates='xz', target_cz=26, reference_cz=None)
+
+
 def toffoli4_connected_record():
     """Stretch hunt: a sub-14 connected toffoli-4 (any verified count <=13
     would beat the published best-known 14)."""
@@ -734,6 +754,7 @@ PAPER_TABLE = {
     'c4sqrtx_connected': c4sqrtx_connected,
     'c4xroot4_connected': c4xroot4_connected,
     'relphase_toff6_connected': relphase_toff6_connected,
+    'relphase_toff6_xz': relphase_toff6_xz,
     'toffoli4_connected_record': toffoli4_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt13_92': qx_4gt13_92,
