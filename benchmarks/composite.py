@@ -31,24 +31,37 @@ import numpy as np
 _RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'results')
 
 
-def _best_circuit(label):
+def _best_circuit(label, *fallback_labels):
     """Best stored block circuit: the Results pickle when present, else
     rebuilt from the committed artifact JSON (the pickles are gitignored
-    and do not survive VM resets; the artifacts are the durable record)."""
-    path = os.path.join(_RESULTS, label)
-    if os.path.exists(path):
-        from cpflow_tpu.api import Results
-        res = Results.load(path)
-        best = min(res.decompositions, key=lambda d: (d.cz_count, d.loss))
-        return best.circuit, best.cz_count
-    from cpflow_tpu.circuits.ir import Circuit
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'artifacts', f'{label}.json')
-    meta = json.load(open(art))
-    qc = Circuit(meta['num_qubits'])
-    for r in meta['instructions']:
-        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
-    return qc, meta['cz_count']
+    and do not survive VM resets; the artifacts are the durable record).
+    When several hunt labels target the same block (e.g. the xyz and xz
+    relphase-toffoli-6 hunts), the cheapest available one wins."""
+    candidates = []
+    for lab in (label, *fallback_labels):
+        path = os.path.join(_RESULTS, lab)
+        if os.path.exists(path):
+            from cpflow_tpu.api import Results
+            res = Results.load(path)
+            best = min(res.decompositions,
+                       key=lambda d: (d.cz_count, d.loss), default=None)
+            if best is not None:
+                candidates.append((best.cz_count, best.circuit))
+                continue
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'artifacts', f'{lab}.json')
+        if os.path.exists(art):
+            from cpflow_tpu.circuits.ir import Circuit
+            meta = json.load(open(art))
+            qc = Circuit(meta['num_qubits'])
+            for r in meta['instructions']:
+                qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+            candidates.append((meta['cz_count'], qc))
+    if not candidates:
+        raise FileNotFoundError(f'no results/artifact for {label} '
+                                f'(or fallbacks {list(fallback_labels)})')
+    cz, qc = min(candidates, key=lambda t: t[0])
+    return qc, cz
 
 
 def build_toffoli5_chain():
@@ -147,7 +160,8 @@ def build_toffoli7_connected():
     levels verified exactly in tests/test_compat_shim.py."""
     from cpflow_tpu.circuits.ir import Circuit
 
-    w6, w6_cz = _best_circuit('relphase_toff6_connected')
+    w6, w6_cz = _best_circuit('relphase_toff6_connected',
+                              'relphase_toff6_xz')
     c5sx, meta5 = build_c5sqrtx_connected()
 
     qc = Circuit(7)

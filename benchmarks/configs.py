@@ -125,6 +125,37 @@ def ghz6_state():
             'num_found': len(results.decompositions)}
 
 
+def _ghz_state_n(n, max_k, num_samples=1024, max_evals=40):
+    """GHZ_n preparation on the chain via the adaptive hunt: n-1 CZ is
+    optimal. State-kind losses build only the |0..0> column (2^n-fold
+    cheaper than the unitary tensor, api._check_working_set exempts
+    'state'), so 7q/8q run large batches safely. CPU probes at 7q show
+    the n-1 basin is a rare event (converged restarts floor at n CZ at
+    256 samples, fixed k=16/r=0.001) — TPE over (k, r) with the big
+    batch is the designed tool for exactly that."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.topology import chain_layer
+
+    ghz = np.zeros(2 ** n, dtype=np.complex64)
+    ghz[0] = ghz[-1] = 1 / np.sqrt(2)
+    spec = LossSpec('state', target=ghz)
+    return _adaptive_run(
+        f'ghz{n}_adaptive', chain_layer(n), loss_spec=spec,
+        min_k=n - 1, max_k=max_k, num_samples=num_samples,
+        max_evals=max_evals, target_cz=n - 1, reference_cz=n - 1)
+
+
+def ghz7_state():
+    """Beyond-paper: 7q GHZ preparation (the paper stops at 5q; our GHZ
+    ladder so far reaches 6q). Target: the optimal 6 CZ."""
+    return _ghz_state_n(7, max_k=24)
+
+
+def ghz8_state():
+    """Beyond-paper: 8q GHZ preparation. Target: the optimal 7 CZ."""
+    return _ghz_state_n(8, max_k=28)
+
+
 def cccz_adaptive(max_evals=10):
     """Config 4: 5q CCCCZ with the adaptive (TPE) path. Reference: 'several
     hours' for 100 evals x 1000 samples; we run a reduced eval budget by
@@ -245,6 +276,13 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
     num_segments = int(os.environ.get('CPFLOW_GD_SEGMENTS', 1))
     min_k = int(os.environ.get('CPFLOW_MIN_K', min_k))
     max_k = int(os.environ.get('CPFLOW_MAX_K', max_k))
+    # entry filter relaxation for hard 6q targets: the raw stage floors
+    # near 1e-2..1e-3 at safe depth while the verification stage (tiny
+    # candidate batch, deep while_loop with target_loss exit) can finish
+    # the descent — let verification decide instead of the entry filter
+    # (default 1e-3) silently discarding every candidate (RESULTS_r4 s13)
+    entry_loss = float(os.environ.get('CPFLOW_ENTRY_LOSS', 0)) or None
+    verify_iters = int(os.environ.get('CPFLOW_VERIFY_ITERS', 0)) or None
     # N TPE suggestions per device dispatch (measured 1.68x evals/hour at
     # N=4 on the tab-toff4 workload, RESULTS_r3); default stays sequential
     parallel_trials = int(os.environ.get('CPFLOW_PARALLEL_TRIALS', 1))
@@ -270,7 +308,10 @@ def _adaptive_run(label, layer, *, target_unitary=None, loss_spec=None,
         rotation_gates=rotation_gates, parallel_trials=parallel_trials,
         target_num_cz_gates=target_cz, stop_if_target_reached=True,
         **({'num_gd_iterations': num_iters} if num_iters else {}),
-        **({'num_gd_segments': num_segments} if num_segments > 1 else {}))
+        **({'num_gd_segments': num_segments} if num_segments > 1 else {}),
+        **({'entry_loss': entry_loss} if entry_loss else {}),
+        **({'num_gd_iterations_at_verification': verify_iters}
+           if verify_iters else {}))
     results = s.adaptive(options, save_results=True, save_to=save_to,
                          verbose=bool(os.environ.get('CPFLOW_VERBOSE')))
     export_summary(results, label)
@@ -778,6 +819,8 @@ ALL = {
     'toffoli3_refine': toffoli3_refine,
     'ghz_state': ghz_state,
     'ghz6_state': ghz6_state,
+    'ghz7_state': ghz7_state,
+    'ghz8_state': ghz8_state,
     'cccz_adaptive': cccz_adaptive,
     'qasm_sweep': qasm_sweep,
     **PAPER_TABLE,

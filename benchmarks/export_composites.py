@@ -21,12 +21,15 @@ _ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
-    from cpflow_tpu.ops.gates import multi_controlled_x, u_toff5
+    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
+                                      multi_controlled_x, u_toff5)
 
     rows = C.main()  # builds + polishes + prints each composite
     targets = {'toffoli5_chain_composite': u_toff5,
                'toffoli5_connected_composite': u_toff5,
-               'toffoli6_connected_composite': multi_controlled_x(6)}
+               'toffoli6_connected_composite': multi_controlled_x(6),
+               'c5sqrtx_connected_composite': multi_controlled_sqrt_x(6),
+               'toffoli7_connected_composite': multi_controlled_x(7)}
     os.makedirs(_ARTIFACTS, exist_ok=True)
     tpath = os.path.join(_ARTIFACTS, 'targets.npz')
     tdict = dict(np.load(tpath)) if os.path.exists(tpath) else {}
@@ -37,7 +40,9 @@ def main():
         # cz+1q; block polish already puts the assembly at e-8..e-10
         builder = {'toffoli5_chain_composite': C.build_toffoli5_chain,
                    'toffoli5_connected_composite': C.build_toffoli5_connected,
-                   'toffoli6_connected_composite': C.build_toffoli6_connected
+                   'toffoli6_connected_composite': C.build_toffoli6_connected,
+                   'c5sqrtx_connected_composite': C.build_c5sqrtx_connected,
+                   'toffoli7_connected_composite': C.build_toffoli7_connected
                    }[name]
         qc, _ = builder()
         n_cz, flatqc = C.cz_count_exact(qc)

@@ -368,8 +368,10 @@ class BasicOptions:
     # single-dispatch program — the lever for the measured 6q dispatch-depth
     # wall (8000-iter single dispatches crash the v5e tunnel worker while
     # 4000-iter ones pass, RESULTS_r4 §15). Best-so-far tracking makes each
-    # segment's result at least as good as the previous one's. Currently
-    # honored by the bucketed adaptive stage (the hunt hot path).
+    # segment's result at least as good as the previous one's. Honored by
+    # the bucketed adaptive stage (the hunt hot path) and the batched
+    # verification stage (where the target_loss early exit makes extra
+    # segments nearly free once every candidate has converged).
     num_gd_segments: int = 1
 
 
@@ -817,7 +819,9 @@ class Synthesize:
             method=options.method,
             learning_rate=options.learning_rate_at_verification,
             num_iterations=options.num_gd_iterations_at_verification,
-            target_loss=options.target_loss, anz=anz)
+            target_loss=options.target_loss, anz=anz,
+            num_segments=max(1, int(getattr(options, 'num_gd_segments', 1)
+                                    or 1)))
         if cb > c:
             ver = cand.VerifiedBatch(*(np.asarray(f)[:c] for f in ver))
         return ver

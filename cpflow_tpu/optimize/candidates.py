@@ -333,7 +333,8 @@ def verify_candidates_batch(unitary_loss_func,
                             learning_rate: float = 0.01,
                             num_iterations: int = 5000,
                             target_loss: float = 1e-6,
-                            anz=None) -> VerifiedBatch:
+                            anz=None,
+                            num_segments: int = 1) -> VerifiedBatch:
     """Project CP angles and re-optimize the remaining free angles for all
     candidates at once (reference verify_cp_result, cp_utils.py:205-247).
 
@@ -341,6 +342,13 @@ def verify_candidates_batch(unitary_loss_func,
     Frozen coordinates (projected CP angles) are embedded in the parameter
     vector and masked out of the gradient; CP(0)/CP(pi) evaluate exactly to
     Id/CZ so the optimized unitary equals the projected circuit's.
+
+    num_segments > 1 (fused path only) chains that many dispatches of the
+    one compiled num_iterations sweep, each resuming from the previous
+    best-so-far parameters — deep verification without lengthening the
+    single-dispatch program (the measured 6q dispatch-depth wall,
+    RESULTS_r4 s15/s18). The target_loss early exit makes extra segments
+    nearly free once every candidate has converged.
     """
     cand = jnp.asarray(candidate_angles, dtype=config.real_dtype)
     if cand.ndim == 1:
@@ -364,8 +372,13 @@ def verify_candidates_batch(unitary_loss_func,
             anz.num_qubits, anz.entangling_gate_name, anz.rotation_gates,
             anz.placements, unitary_loss_func, reversible=True)
 
-        def stage(cand_cp):
-            inits_cp, frozen_cp = jax.vmap(prepare)(cand_cp)
+        def stage(cand_cp, params_in, resume):
+            proj_cp, frozen_cp = jax.vmap(prepare)(cand_cp)
+            # resume > 0: continue descent from a previous segment's best
+            # parameters; the frozen mask and the reported CZ count always
+            # derive from the ORIGINAL candidate's projection, so the
+            # projected circuit is unchanged across segments
+            inits_cp = jnp.where(resume > 0, params_in, proj_cp)
             mask_pb = (1.0 - frozen_cp.astype(config.real_dtype)).T
             # target_loss early exit: verification usually converges well
             # before the full budget, so the sweep stops as soon as every
@@ -374,11 +387,15 @@ def verify_candidates_batch(unitary_loss_func,
                 regloss_fn, inits_cp.T, learning_rate=learning_rate,
                 num_iterations=num_iterations, grad_mask_pb=mask_pb,
                 target_loss=target_loss)
-            cz = cz_value(inits_cp * cp_mask_j[None, :],
+            cz = cz_value(proj_cp * cp_mask_j[None, :],
                           threshold=threshold_cp).sum(axis=1).astype(jnp.int32)
             return best_params.T, best_reg, cz, frozen_cp
 
-        best_angles, best_losses, cz_counts, frozen = jax.jit(stage)(cand)
+        fn = jax.jit(stage)
+        out = fn(cand, jnp.zeros_like(cand), jnp.float32(0.0))
+        for _ in range(max(1, int(num_segments)) - 1):
+            out = fn(cand, out[0], jnp.float32(1.0))
+        best_angles, best_losses, cz_counts, frozen = out
         best_losses_np = np.asarray(best_losses)
         return VerifiedBatch(
             success=best_losses_np <= target_loss,

@@ -265,6 +265,28 @@ def test_num_gd_segments_chains_descent():
     np.testing.assert_allclose(np.asarray(lossv)[0],
                                np.asarray(loss2), atol=2e-6)
 
+    # verification chaining: same projected circuit (identical cz/frozen),
+    # per-candidate losses elementwise no worse, strictly better where
+    # under-converged
+    from cpflow_tpu.optimize import candidates as cand_mod
+    anz_v = s._ansatz(AdaptiveOptions(**base).get_static(8, 0.0005))
+    batch = np.asarray(ang1)[:4]
+    v1 = cand_mod.verify_candidates_batch(
+        s.unitary_loss_func, anz_v.unitary, batch, anz_v.cp_mask,
+        learning_rate=0.01, num_iterations=50, target_loss=1e-12,
+        anz=anz_v, num_segments=1)
+    v3 = cand_mod.verify_candidates_batch(
+        s.unitary_loss_func, anz_v.unitary, batch, anz_v.cp_mask,
+        learning_rate=0.01, num_iterations=50, target_loss=1e-12,
+        anz=anz_v, num_segments=3)
+    np.testing.assert_array_equal(v1.cz, v3.cz)
+    np.testing.assert_array_equal(v1.frozen, v3.frozen)
+    assert np.all(v3.best_loss <= v1.best_loss + 1e-7)
+    assert float(v3.best_loss.min()) < float(v1.best_loss.min())
+    # frozen coordinates never move across segments
+    np.testing.assert_allclose(v3.best_angles[v3.frozen],
+                               v1.best_angles[v1.frozen], atol=1e-6)
+
 
 def test_losspec_kinds():
     u = np.asarray(gates.cz_mat, dtype=complex)
