@@ -112,7 +112,8 @@ def build_toffoli6_connected():
     tests/test_compat_shim.py). Full connectivity needs no routing."""
     from cpflow_tpu.circuits.ir import Circuit
 
-    w, w_cz = _best_circuit('relphase_toff5_connected')
+    w, w_cz = _best_circuit('relphase_toff5_connected',
+                              'relphase_toff5_xz')
     c4sx, c4sx_cz = _best_circuit('c4sqrtx_connected')
 
     qc = Circuit(6)
@@ -136,7 +137,8 @@ def build_c5sqrtx_connected():
     tests/test_compat_shim.py). CX^1/4(c,t) = H_t CP(pi/4)(c,t) H_t."""
     from cpflow_tpu.circuits.ir import Circuit
 
-    w5, w5_cz = _best_circuit('relphase_toff5_connected')
+    w5, w5_cz = _best_circuit('relphase_toff5_connected',
+                              'relphase_toff5_xz')
     c4r, c4r_cz = _best_circuit('c4xroot4_connected')
 
     qc = Circuit(6)
@@ -148,6 +150,32 @@ def build_c5sqrtx_connected():
     return qc, {'w5_cz': w5_cz, 'c4xroot4_cz': c4r_cz}
 
 
+def build_relphase_toff6_composite():
+    """COMPOSITE relative-phase toffoli-6 from 5q blocks only:
+
+    W6 = CsqrtX(4,5) . W5^dag . CsqrtX^dag(4,5) . W5 . RC4sqrtX(0123->5)
+
+    equals C5X times a diagonal for ANY diagonal gauges on W5 (relphase
+    toffoli-5) and RC4sqrtX (relphase C4-sqrt-X) — verified exactly with
+    random gauges in tests/test_composite_w6.py. A diagonal-gauge block
+    in the RIGHTMOST position rides through the product, so the inner
+    block needs only the modulo-diagonal hunt (5q, reliable), not the
+    36-CZ exact C4-sqrt-X. Returns (circuit, metadata)."""
+    from cpflow_tpu.circuits.ir import Circuit
+
+    w5, w5_cz = _best_circuit('relphase_toff5_connected',
+                              'relphase_toff5_xz')
+    rc4, rc4_cz = _best_circuit('relphase_c4sqrtx_connected')
+
+    qc = Circuit(6)
+    qc.h(5); qc.cp(math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(-math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w5, qubits=[0, 1, 2, 3, 4])
+    qc.compose(rc4, qubits=[0, 1, 2, 3, 5])
+    return qc, {'w5_cz': w5_cz, 'rc4sqrtx_cz': rc4_cz}
+
+
 def build_toffoli7_connected():
     """Connected toffoli-7 — TWO recursion levels beyond the reference
     paper (which stops at toffoli-5):
@@ -155,13 +183,29 @@ def build_toffoli7_connected():
     C6X(012345->6) = CsqrtX(5,6) . W6^dag . CsqrtX^dag(5,6) . W6
                      . C5sqrtX(01234->6)
 
-    with W6 any relative-phase toffoli-6 (relphase_toff6_connected) and
+    with W6 any relative-phase toffoli-6 (a directly-synthesized one when
+    a hunt lands; else the composite W6 from 5q blocks above) and
     C5sqrtX the composite above on qubits (0,1,2,3,4,6). Both identity
-    levels verified exactly in tests/test_compat_shim.py."""
+    levels verified exactly in tests/test_compat_shim.py; W6's internal
+    phases cancel (W6^dag ... W6) so only the rightmost C5sqrtX chain
+    must be phase-exact."""
     from cpflow_tpu.circuits.ir import Circuit
 
-    w6, w6_cz = _best_circuit('relphase_toff6_connected',
-                              'relphase_toff6_xz')
+    options = []
+    try:
+        options.append(_best_circuit('relphase_toff6_connected',
+                                     'relphase_toff6_xz')[::-1])
+    except FileNotFoundError:
+        pass
+    try:
+        w6c, meta6 = build_relphase_toff6_composite()
+        options.append((4 + 2 * meta6['w5_cz'] + meta6['rc4sqrtx_cz'], w6c))
+    except FileNotFoundError:
+        pass
+    if not options:
+        raise FileNotFoundError('no W6: neither a direct relphase-toff6 '
+                                'row nor the 5q blocks of the composite')
+    w6_cz, w6 = min(options, key=lambda t: t[0])
     c5sx, meta5 = build_c5sqrtx_connected()
 
     qc = Circuit(7)

@@ -529,6 +529,44 @@ def relphase_toff6_connected():
         target_cz=16, reference_cz=None)
 
 
+def relphase_c4sqrtx_connected():
+    """Block for the COMPOSITE W6 (relative-phase toffoli-6): C4-sqrt-X
+    modulo a diagonal on all five wires. Verified exactly (64-dim, random
+    gauges, tests/test_composite_w6.py): W6 = CsqrtX(4,5) W5^dag
+    CsqrtX^dag(4,5) W5 RC4sqrtX(0123->5) equals C5X times a diagonal for
+    ANY diagonal gauges on W5 and RC4sqrtX — so this block plus the
+    existing 14-CZ relphase toffoli-5 assembles block B of toffoli-7 from
+    5q hunts alone (5q converges reliably where 6q floors, RESULTS_r4
+    s13). The exact C4-sqrt-X costs 36; the relphase discount at 4q was
+    14 -> 6."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import multi_controlled_sqrt_x
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=multi_controlled_sqrt_x(5),
+                    num_qubits=5, wires=[0, 1, 2, 3, 4])
+    return _adaptive_run(
+        'relphase_c4sqrtx_connected', connected_layer(5), loss_spec=spec,
+        min_k=8, max_k=30, num_samples=1024, max_evals=80,
+        rotation_gates='xz', target_cz=12, reference_cz=None)
+
+
+def relphase_toff5_xz():
+    """Sub-14 relative-phase toffoli-5 hunt (xz template, fresh label —
+    the xyz hunt landed 14). Every CZ saved here counts TWICE in the
+    toffoli-6 composite (68 = 4 + 2x14 + 36), twice in the composite W6
+    and twice more in C5-sqrt-X — the highest-leverage 5q row in the
+    6q/7q program."""
+    from cpflow_tpu import LossSpec
+    from cpflow_tpu.ops.gates import u_toff5
+    from cpflow_tpu.topology import connected_layer
+    spec = LossSpec('modulo_diagonal', target=u_toff5, num_qubits=5,
+                    wires=[0, 1, 2, 3, 4])
+    return _adaptive_run(
+        'relphase_toff5_xz', connected_layer(5), loss_spec=spec,
+        min_k=6, max_k=22, num_samples=1024, max_evals=80,
+        rotation_gates='xz', target_cz=11, reference_cz=None)
+
+
 def relphase_toff6_xz():
     """Block B of the toffoli-7 program, second attempt (queue 22): the
     xyz hunt (relphase_toff6_connected) came back empty at 300 evals with
@@ -796,6 +834,8 @@ PAPER_TABLE = {
     'c4xroot4_connected': c4xroot4_connected,
     'relphase_toff6_connected': relphase_toff6_connected,
     'relphase_toff6_xz': relphase_toff6_xz,
+    'relphase_c4sqrtx_connected': relphase_c4sqrtx_connected,
+    'relphase_toff5_xz': relphase_toff5_xz,
     'toffoli4_connected_record': toffoli4_connected_record,
     'toffoli5_static_assault': toffoli5_static_assault,
     'qx_4gt13_92': qx_4gt13_92,
