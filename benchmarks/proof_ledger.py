@@ -101,6 +101,11 @@ PROOF_STATUS = {
         'blocked_on_subblock',
         'needs the relphase toffoli-5 closed form (characterized '
         'obstruction above)', 68),
+    'c5sqrtx_connected_composite': (
+        'blocked_on_subblock',
+        'composite of the 38-CZ c4xroot4 block (unidentified, not '
+        'pi-rational) + the relphase toffoli-5 (characterized '
+        'obstruction above); inherits both blocks\' status', 70),
     # -- new rows superseding the swept stream; swept r4
     'qx_one-two-three-v2_100': ('dfs_stalled', 'closed_form_sweep r4 on '
                                 'the 25-CX row: 15/75 angles unidentified '
@@ -118,10 +123,11 @@ PROOF_STATUS = {
         'unidentified', 'closed_form_sweep r4 (43-CX row): angles not '
         'rational, no family match at budget', 43),
     # -- toffoli-7 program block A (queue 21, RESULTS_r4)
-    'c4xroot4_connected': ('unidentified', 'exact_proofs r4: angles not '
-                           'pi-rational (the xz row lands off the '
-                           'zeta_64-class grid the c4sqrtx chain row sits '
-                           'on); closed_form_sweep is the follow-up', 38),
+    'c4xroot4_connected': ('dfs_stalled', 'exact_proofs r4: angles not '
+                           'pi-rational; closed_form_sweep r4 '
+                           '(CPFLOW_CFS_BUDGET=1000): 43/104 angles '
+                           'unidentified at budget — gauge-heavy like the '
+                           'relphase family', 38),
 }
 
 
