@@ -54,6 +54,16 @@ def reduced_artifact(label):
     qc = artifact_circuit(meta)
     loss = artifact_loss(meta, target)
     qc = remove_zero_rgates(reduce_angles(qc, loss))
+    if os.environ.get('CPFLOW_CFS_SQUEEZE'):
+        # Opt-in preprocessing for gauge-heavy rows: the pairwise
+        # squeeze zeroes angles whose value is pure cross-wire gauge
+        # (compensating +-a folds), shrinking both the angle count and
+        # the Jacobian null space BEFORE the Gauss-Newton/DFS pipeline.
+        # Off by default — on already-tight rows it can move a rigid
+        # near-dyadic angle the sweep would have identified exactly.
+        from cpflow_tpu.circuits.refine import squeeze_to_dyadic
+        qc, _ = squeeze_to_dyadic(qc, loss)
+        qc = remove_zero_rgates(reduce_angles(qc, loss))
     return qc, meta, target
 
 

@@ -234,7 +234,8 @@ def cz_count_exact(qc):
     return flat.gates_count(['cz']), flat
 
 
-def _report(builder, name, reference_cz, extra, target=None):
+def _report(builder, name, reference_cz, extra, target=None,
+            loss_kind='hst'):
     from cpflow_tpu.circuits.passes import hst_distance
     from cpflow_tpu.circuits.refine import polish_angles
     from cpflow_tpu.circuits.ir import ROTATION_NAMES
@@ -242,6 +243,12 @@ def _report(builder, name, reference_cz, extra, target=None):
 
     qc, meta = builder()
     tgt = (u_toff5 if target is None else target).astype(np.complex128)
+    if loss_kind == 'modulo_diagonal':
+        from cpflow_tpu.ops import losses
+
+        def hst_distance(u, t):  # noqa: F811 — same (u, target) shape
+            return float(losses.disc_modulo_diagonal(
+                t, u, qc.num_qubits, list(range(qc.num_qubits)), xp=np))
     loss = hst_distance(qc.unitary(), tgt)
 
     # the blocks were verified independently to ~1e-6/1e-7 each; polishing
@@ -279,25 +286,32 @@ def main():
     rows = []
     from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
                                       multi_controlled_x)
-    for builder, name, target, extra, tgt_u in (
+    for builder, name, target, extra, tgt_u, kind in (
         (build_toffoli5_chain, 'toffoli5_chain_composite', 48,
-         {'qiskit_reference': 61, 'direct_synthesis_reference': 69}, None),
+         {'qiskit_reference': 61, 'direct_synthesis_reference': 69}, None,
+         'hst'),
         (build_toffoli5_connected, 'toffoli5_connected_composite', 30,
          {'note': 'best known ancilla-free count; the reference DESCRIBES '
                   'this construction but reports 36 from direct synthesis'},
-         None),
+         None, 'hst'),
         (build_toffoli6_connected, 'toffoli6_connected_composite', None,
          {'note': 'beyond the reference paper (which stops at toffoli-5)'},
-         multi_controlled_x(6)),
+         multi_controlled_x(6), 'hst'),
+        (build_relphase_toff6_composite, 'relphase_toff6_composite', None,
+         {'note': 'relative-phase toffoli-6 (C5X modulo diagonal) from 5q '
+                  'blocks only via the composite-W6 identity '
+                  '(tests/test_composite_w6.py)'},
+         multi_controlled_x(6), 'modulo_diagonal'),
         (build_c5sqrtx_connected, 'c5sqrtx_connected_composite', None,
          {'note': 'inner block of toffoli-7 (V-recursion with X^(1/4))'},
-         multi_controlled_sqrt_x(6)),
+         multi_controlled_sqrt_x(6), 'hst'),
         (build_toffoli7_connected, 'toffoli7_connected_composite', None,
          {'note': 'TWO recursion levels beyond the reference paper'},
-         multi_controlled_x(7)),
+         multi_controlled_x(7), 'hst'),
     ):
         try:
-            rows.append(_report(builder, name, target, extra, target=tgt_u))
+            rows.append(_report(builder, name, target, extra, target=tgt_u,
+                                loss_kind=kind))
         except FileNotFoundError as e:
             print(json.dumps({'config': name,
                               'skipped': f'missing block results: {e}'}))

@@ -57,6 +57,9 @@ def exact_target(label: str, num_qubits: int, q: int):
         return t, 'modulo_diagonal'
     if label.startswith(('c3sqrtx', 'c4sqrtx')):
         return ex.controlled_sqrt_x(num_qubits, q), 'hst'
+    if label.startswith('relphase_c') and 'sqrtx' in label:
+        # relative-phase C^(n-1)-sqrt-X: exact modulo a diagonal
+        return ex.controlled_sqrt_x(num_qubits, q), 'modulo_diagonal'
     if label.startswith('qx_'):
         # The ibm_qx benchmark circuits are pure Clifford+T ({cx,h,t,tdg,x})
         # qasm, so the TARGET itself is exactly evaluable in the same ring
@@ -109,6 +112,7 @@ def rational_form(label: str):
             # reducer AND the pairwise squeeze leave irrational angles
             # (the representable point lies far along the gauge family).
             from benchmarks.closed_form_search import (parse_spec_general,
+                                                       reduced_artifact,
                                                        search as cf_search)
             res = cf_search(label, verbose=False)
             if res['unidentified']:
@@ -118,7 +122,12 @@ def rational_form(label: str):
                    for r, _, name in parsed):
                 return None, ('closed form found but not pi-rational: '
                               f'{res["specs"]}'), None
-            qc3 = qc2.with_rotation_angles(
+            # The specs index closed_form_search's OWN reduction of the
+            # artifact (reduced_artifact), which diverges from qc2 when
+            # CPFLOW_CFS_SQUEEZE is set (the squeeze removes angles) —
+            # rebuild from the same source so the assignment lines up.
+            qc_cf, _, _ = reduced_artifact(label)
+            qc3 = qc_cf.with_rotation_angles(
                 [math.pi * float(r) for r, _, _ in parsed])
             qc3 = remove_zero_rgates(qc3)
     fr = [Fraction(p / math.pi).limit_denominator(MAX_DENOMINATOR)

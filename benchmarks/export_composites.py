@@ -28,8 +28,10 @@ def main():
     targets = {'toffoli5_chain_composite': u_toff5,
                'toffoli5_connected_composite': u_toff5,
                'toffoli6_connected_composite': multi_controlled_x(6),
+               'relphase_toff6_composite': multi_controlled_x(6),
                'c5sqrtx_connected_composite': multi_controlled_sqrt_x(6),
                'toffoli7_connected_composite': multi_controlled_x(7)}
+    loss_kinds = {'relphase_toff6_composite': 'modulo_diagonal'}
     os.makedirs(_ARTIFACTS, exist_ok=True)
     tpath = os.path.join(_ARTIFACTS, 'targets.npz')
     tdict = dict(np.load(tpath)) if os.path.exists(tpath) else {}
@@ -41,6 +43,7 @@ def main():
         builder = {'toffoli5_chain_composite': C.build_toffoli5_chain,
                    'toffoli5_connected_composite': C.build_toffoli5_connected,
                    'toffoli6_connected_composite': C.build_toffoli6_connected,
+                   'relphase_toff6_composite': C.build_relphase_toff6_composite,
                    'c5sqrtx_connected_composite': C.build_c5sqrtx_connected,
                    'toffoli7_connected_composite': C.build_toffoli7_connected
                    }[name]
@@ -49,10 +52,13 @@ def main():
         insts = [{'name': i.name, 'qubits': list(i.qubits),
                   **({'param': float(i.param)} if i.param is not None else {})}
                  for i in flatqc.instructions]
+        kind = loss_kinds.get(name, 'hst')
         meta = {'label': name, 'cz_count': int(n_cz),
                 'cz_depth': int(flatqc.gates_depth(['cz'])),
-                'loss': row['loss_vs_toffoli5'], 'loss_kind': 'hst',
+                'loss': row['loss_vs_toffoli5'], 'loss_kind': kind,
                 'num_qubits': flatqc.num_qubits, 'instructions': insts}
+        if kind == 'modulo_diagonal':
+            meta['wires'] = list(range(flatqc.num_qubits))
         with open(os.path.join(_ARTIFACTS, f'{name}.json'), 'w') as f:
             json.dump(meta, f, indent=1)
         tdict[name] = targets[name].astype(np.complex64)

@@ -122,6 +122,10 @@ PROOF_STATUS = {
     'qx_one-two-three-v0_98': (
         'unidentified', 'closed_form_sweep r4 (43-CX row): angles not '
         'rational, no family match at budget', 43),
+    # -- toffoli-7 program block B inner piece (queue 23, RESULTS_r4)
+    'relphase_c4sqrtx_connected': (
+        'pending', 'landed queue 23 (15 CZ, polished 9.5e-9); '
+        'squeeze-preprocessed closed_form_sweep scheduled this round', 15),
     # -- toffoli-7 program block A (queue 21, RESULTS_r4)
     'c4xroot4_connected': ('dfs_stalled', 'exact_proofs r4: angles not '
                            'pi-rational; closed_form_sweep r4 '
