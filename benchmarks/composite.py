@@ -167,12 +167,22 @@ def build_relphase_toff6_composite():
                               'relphase_toff5_xz')
     rc4, rc4_cz = _best_circuit('relphase_c4sqrtx_connected')
 
+    # Two r4 export bugs fixed here (the loss-4.078 artifact, VERDICT r4
+    # weak-2), both invisible for exact/Hermitian blocks:
+    #  * the modulo-diagonal hunt certifies u = D @ target^dag (losses.py
+    #    disc_modulo_diagonal); C4-sqrt-X is NON-Hermitian, so the stored
+    #    circuit is the inverse block — rc4.inverse() = C4sqrtX @ D^dag is
+    #    the right-diagonal form the W6 identity needs;
+    #  * Circuit.unitary() applies first-appended-FIRST, so the docstring's
+    #    matrix product must be appended right-to-left: RC4sqrtX first.
+    #    The exact-block composites hold in either order (their blocks are
+    #    gauge-free); the gauged RC4 must sit in the applied-first slot.
     qc = Circuit(6)
-    qc.h(5); qc.cp(math.pi / 2, 4, 5); qc.h(5)
-    qc.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
-    qc.h(5); qc.cp(-math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(rc4.inverse(), qubits=[0, 1, 2, 3, 5])
     qc.compose(w5, qubits=[0, 1, 2, 3, 4])
-    qc.compose(rc4, qubits=[0, 1, 2, 3, 5])
+    qc.h(5); qc.cp(-math.pi / 2, 4, 5); qc.h(5)
+    qc.compose(w5.inverse(), qubits=[0, 1, 2, 3, 4])
+    qc.h(5); qc.cp(math.pi / 2, 4, 5); qc.h(5)
     return qc, {'w5_cz': w5_cz, 'rc4sqrtx_cz': rc4_cz}
 
 
@@ -265,7 +275,29 @@ def _report(builder, name, reference_cz, extra, target=None,
                 inst.param = float(next(it))
         return hst_distance(probe.unitary(), tgt)
 
-    polished = polish_angles(loss_of_angles, np.array(angles), sweeps=2)
+    # f64 Adam through the jax tracer first (reaches e-10..e-12 where
+    # coordinate sweeps alone stall — benchmarks/polish_results.py), then
+    # exact per-angle sweeps until the artifact bar (1e-9) or a sweep cap.
+    polished = np.array(angles, dtype=float)
+    try:
+        from cpflow_tpu.api import LossSpec
+        from benchmarks.polish_results import _adam_polish
+        spec = (LossSpec('modulo_diagonal', target=tgt,
+                         num_qubits=qc.num_qubits,
+                         wires=list(range(qc.num_qubits)))
+                if loss_kind == 'modulo_diagonal' else
+                LossSpec('hst', target=tgt))
+        adamed, adam_loss = _adam_polish(qc, spec, adam_iters=3000)
+        if adam_loss < loss_of_angles(polished):
+            polished = adamed
+    except Exception as e:  # noqa: BLE001 — Adam is an accelerator only
+        print(json.dumps({'config': name,
+                          'adam_polish_skipped': f'{type(e).__name__}: {e}'}),
+              flush=True)
+    for _ in range(6):
+        if loss_of_angles(polished) < 1e-9:
+            break
+        polished = polish_angles(loss_of_angles, polished, sweeps=1)
     it = iter(polished)
     for inst in qc.instructions:
         if inst.name in ROTATION_NAMES:
@@ -279,6 +311,11 @@ def _report(builder, name, reference_cz, extra, target=None,
            'polished_loss': float(polished_loss),
            'block_cz': meta, **extra}
     print(json.dumps(row))
+    # non-JSON payload for export_composites: the POLISHED circuit and its
+    # verification context (the r4 exporter rebuilt UNPOLISHED circuits)
+    row['_qc'] = qc
+    row['_target'] = tgt
+    row['_kind'] = loss_kind
     return row
 
 

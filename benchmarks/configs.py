@@ -896,9 +896,22 @@ def main():
         names = list(PAPER_TABLE)
     else:
         names = [which]
+    failed = []
     for name in names:
+        if name not in ALL:
+            failed.append(name)
+            print(json.dumps({'config': name, 'error': 'unknown config'}),
+                  flush=True)
+            continue
         result = _run_with_retry(ALL[name], name)
         print(json.dumps(result), flush=True)
+        if isinstance(result, dict) and 'error' in result:
+            failed.append(name)
+    # VERDICT r4 weak-5: backend/config failures used to print an error
+    # JSON and exit 0, so queue logs recorded dead-tunnel no-ops as
+    # `done rc=0`. Propagate them (tests/test_configs_exit_code.py).
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == '__main__':

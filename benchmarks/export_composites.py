@@ -1,8 +1,17 @@
 """Export the composite constructions (toffoli-5 chain/connected,
-toffoli-6 connected) as committed artifacts alongside the per-search ones:
-rebuilds each from the stored blocks, polishes, and writes
+toffoli-6/7, relphase-toff6, C5-sqrt-X) as committed artifacts alongside
+the per-search ones: polishes each composite, flattens cp/cx to cz+1q,
+RE-VERIFIES the exact instruction list being written, and writes
 benchmarks/artifacts/<name>.json + its target into targets.npz so
 tests/test_artifacts.py re-verifies them from the repo alone.
+
+Round-4 postmortem (VERDICT r4 weak-2): the previous exporter rebuilt the
+UNPOLISHED circuit after composite.main() had polished a different copy,
+and wrote whatever came out — shipping a loss-4.078 artifact labelled
+6.9e-8. This version exports the polished circuit object itself and
+refuses (nonzero exit, nothing written) any artifact whose recomputed
+loss — from the exported JSON-roundtripped instruction list, not the
+in-memory object — fails the paper's 1e-6 criterion.
 
 Usage: python -m benchmarks.export_composites
 """
@@ -11,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -18,52 +28,81 @@ from benchmarks import composite as C
 
 _ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           'artifacts')
+CRITERION = 1e-6
+
+
+def _verify_insts(insts, num_qubits, target, kind):
+    """Recompute the loss of the instruction list exactly as
+    tests/test_artifacts.py will: JSON-roundtrip, rebuild, host numpy."""
+    from cpflow_tpu.circuits.ir import Circuit
+    from cpflow_tpu.ops import losses
+
+    insts = json.loads(json.dumps(insts))  # what the file will contain
+    qc = Circuit(num_qubits)
+    for r in insts:
+        qc.append(r['name'], tuple(r['qubits']), r.get('param'))
+    u = qc.unitary()
+    tgt = np.asarray(target, dtype=complex)
+    if kind == 'modulo_diagonal':
+        return float(losses.disc_modulo_diagonal(
+            tgt, u, num_qubits, list(range(num_qubits)), xp=np))
+    d = tgt.shape[0]
+    return float(1.0 - (abs(np.sum(u * tgt.conj())) / d) ** 2)
 
 
 def main():
-    from cpflow_tpu.ops.gates import (multi_controlled_sqrt_x,
-                                      multi_controlled_x, u_toff5)
+    # host-side job: pin CPU (the ambient axon tunnel backend cannot lower
+    # complex128; env var alone does not override the sitecustomize). The
+    # Adam polish jits one x64 program per composite — cache them (the 7q
+    # compile alone is tens of minutes on this 1-core host).
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
     rows = C.main()  # builds + polishes + prints each composite
-    targets = {'toffoli5_chain_composite': u_toff5,
-               'toffoli5_connected_composite': u_toff5,
-               'toffoli6_connected_composite': multi_controlled_x(6),
-               'relphase_toff6_composite': multi_controlled_x(6),
-               'c5sqrtx_connected_composite': multi_controlled_sqrt_x(6),
-               'toffoli7_connected_composite': multi_controlled_x(7)}
-    loss_kinds = {'relphase_toff6_composite': 'modulo_diagonal'}
     os.makedirs(_ARTIFACTS, exist_ok=True)
     tpath = os.path.join(_ARTIFACTS, 'targets.npz')
     tdict = dict(np.load(tpath)) if os.path.exists(tpath) else {}
 
+    failures = []
     for row in rows:
         name = row['config']
-        # rebuild from the (polished) stored blocks and flatten cp/cx to
-        # cz+1q; block polish already puts the assembly at e-8..e-10
-        builder = {'toffoli5_chain_composite': C.build_toffoli5_chain,
-                   'toffoli5_connected_composite': C.build_toffoli5_connected,
-                   'toffoli6_connected_composite': C.build_toffoli6_connected,
-                   'relphase_toff6_composite': C.build_relphase_toff6_composite,
-                   'c5sqrtx_connected_composite': C.build_c5sqrtx_connected,
-                   'toffoli7_connected_composite': C.build_toffoli7_connected
-                   }[name]
-        qc, _ = builder()
+        if '_qc' not in row:
+            failures.append(name)
+            print(json.dumps({'export_refused': name,
+                              'reason': 'builder returned no circuit'}),
+                  flush=True)
+            continue
+        qc, target, kind = row['_qc'], row['_target'], row['_kind']
         n_cz, flatqc = C.cz_count_exact(qc)
         insts = [{'name': i.name, 'qubits': list(i.qubits),
                   **({'param': float(i.param)} if i.param is not None else {})}
                  for i in flatqc.instructions]
-        kind = loss_kinds.get(name, 'hst')
+        recomputed = _verify_insts(insts, flatqc.num_qubits, target, kind)
+        if not recomputed < CRITERION:
+            failures.append(name)
+            print(json.dumps({'export_refused': name,
+                              'recomputed_loss': recomputed,
+                              'criterion': CRITERION}), flush=True)
+            continue
         meta = {'label': name, 'cz_count': int(n_cz),
                 'cz_depth': int(flatqc.gates_depth(['cz'])),
-                'loss': row['loss_vs_toffoli5'], 'loss_kind': kind,
+                'loss': recomputed, 'loss_kind': kind,
                 'num_qubits': flatqc.num_qubits, 'instructions': insts}
         if kind == 'modulo_diagonal':
             meta['wires'] = list(range(flatqc.num_qubits))
         with open(os.path.join(_ARTIFACTS, f'{name}.json'), 'w') as f:
             json.dump(meta, f, indent=1)
-        tdict[name] = targets[name].astype(np.complex64)
-        print(json.dumps({'exported': name, 'cz': int(n_cz)}), flush=True)
+        tdict[name] = np.asarray(target).astype(np.complex64)
+        print(json.dumps({'exported': name, 'cz': int(n_cz),
+                          'recomputed_loss': recomputed}), flush=True)
     np.savez_compressed(tpath, **tdict)
+    if failures:
+        print(json.dumps({'export_failures': failures}), flush=True)
+        sys.exit(1)
 
 
 if __name__ == '__main__':

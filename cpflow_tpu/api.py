@@ -126,6 +126,12 @@ class LossSpec:
         state['_jit_fn'] = None
         return state
 
+    def __setstate__(self, state):
+        # dills pickled BEFORE __getstate__ existed carry no _jit_fn key;
+        # default it so numpy() rebuilds lazily instead of AttributeError
+        state.setdefault('_jit_fn', None)
+        self.__dict__.update(state)
+
     def __repr__(self):
         shape = None if self.target is None else self.target.shape
         return f'LossSpec({self.kind!r}, target_shape={shape})'

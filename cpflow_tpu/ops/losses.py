@@ -218,8 +218,13 @@ def _matmul(a, b, xp=jnp):
 
 
 def disc_modulo_identity(u_target, u, num_qubits, wires, xp=jnp):
-    """Zero iff u == u_target up to a transform acting as identity on `wires`
-    (matrix_utils.py:204-208).
+    """Zero iff (u @ u_target) acts as identity on `wires` — i.e.
+    u == A @ u_target^dag with A identity on `wires` (matrix_utils.py:204-208;
+    the reference computes the SAME relation, its docstring notwithstanding).
+    For Hermitian targets (every multi-controlled X) u_target^dag == u_target,
+    so this matches the naive reading; for a NON-Hermitian target pass
+    u_target.conj().T — or use the found circuit's .inverse() — to get a
+    circuit equivalent to the target itself (tests/test_losses_convention.py).
 
     xp: jnp (device pipeline, default) or numpy — the host refinement path
     evaluates the same math substrate-free (no device dispatch per probe).
@@ -229,7 +234,14 @@ def disc_modulo_identity(u_target, u, num_qubits, wires, xp=jnp):
 
 
 def disc_modulo_diagonal(u_target, u, num_qubits, wires, xp=jnp):
-    """Zero iff u == u_target times diagonal+spectator transforms
-    (matrix_utils.py:211-215). See disc_modulo_identity for `xp`."""
+    """Zero iff (u @ u_target) is diagonal on `wires` (+ spectator
+    transforms) — i.e. u == D @ u_target^dag with D diagonal
+    (matrix_utils.py:211-215, same relation as the reference). As with
+    disc_modulo_identity, this is u ~ u_target only for HERMITIAN targets;
+    a circuit found against a non-Hermitian target (e.g. C4-sqrt-X)
+    implements the target's INVERSE modulo a left diagonal, so consumers
+    must use circuit.inverse() (= u_target @ D^dag) — the round-4
+    relphase_toff6_composite exported at loss 4.078 because its RC4sqrtX
+    block skipped exactly this step. See disc_modulo_identity for `xp`."""
     return tensor_diagonal_loss(_matmul(u, u_target, xp).conj().T,
                                 num_qubits, wires, xp=xp)
