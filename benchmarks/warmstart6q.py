@@ -75,6 +75,31 @@ def build_warm_batch(angles, cp_mask, batch, seed):
     return out, sig_of_row
 
 
+def build_ablate_batch(angles, cp_indices, batch, seed, sigma=0.01):
+    """Leave-out scan: row j zeroes the CP angle of block j (first k rows),
+    remaining rows zero a random PAIR of blocks, all with light rotation
+    noise. If a nearby solution without that block exists, gradient
+    descent + the penalty keep the zeroed CP near 0 and the row verifies
+    at a LOWER cz count — a structured probe the sigma-ladder warm start
+    (which never left the 68-CZ basin) cannot make."""
+    rng = np.random.default_rng(seed + 1)
+    P = angles.shape[0]
+    k = len(cp_indices)
+    out = np.empty((batch, P), dtype=np.float32)
+    drop_of_row = []
+    for b in range(batch):
+        row = angles + rng.normal(0.0, sigma, P).astype(np.float32)
+        if b < k:
+            drops = [b]
+        else:
+            drops = sorted(rng.choice(k, size=2, replace=False).tolist())
+        for d in drops:
+            row[cp_indices[d]] = 0.0
+        out[b] = row
+        drop_of_row.append(drops)
+    return out, drop_of_row
+
+
 def main():
     import jax
     jax.config.update('jax_compilation_cache_dir',
@@ -123,8 +148,17 @@ def main():
                       'host_loss_of_source': host_loss}), flush=True)
 
     cp_mask = np.asarray(anz.cp_mask, dtype=np.float64)
-    warm_batch, sig_of_row = build_warm_batch(
-        warm_angles.astype(np.float32), cp_mask, batch, seed)
+    mode = os.environ.get('CPFLOW_MODE', 'warm')
+    if mode == 'ablate':
+        from cpflow_tpu.sim.ansatz_kernel import cp_angle_indices
+        cp_idx = cp_angle_indices(n, anz.num_block_angles, anz.num_blocks)
+        warm_batch, drop_of_row = build_ablate_batch(
+            warm_angles.astype(np.float32), cp_idx, batch, seed)
+        sig_of_row = np.zeros(batch)  # every row is a warm probe
+    else:
+        warm_batch, sig_of_row = build_warm_batch(
+            warm_angles.astype(np.float32), cp_mask, batch, seed)
+        drop_of_row = None
     active = np.ones(anz.num_angles, dtype=np.float32)
 
     import jax.numpy as jnp
@@ -142,7 +176,14 @@ def main():
         angles = np.asarray(params)
         order = np.argsort(loss)
         top = [{'cz': int(cz[i]), 'loss': float(loss[i]),
-                'sigma': float(sig_of_row[i])} for i in order[:6]]
+                **({'drops': drop_of_row[i]} if drop_of_row is not None
+                   else {'sigma': float(sig_of_row[i])})}
+               for i in order[:6]]
+        if drop_of_row is not None:
+            # the scan's real signal: the best sub-k rows
+            sub = [i for i in order if cz[i] < k][:6]
+            top += [{'cz': int(cz[i]), 'loss': float(loss[i]),
+                     'drops': drop_of_row[i]} for i in sub]
         # per-arm minima: did ANY random-control row reach entry?
         warm_sel = sig_of_row >= 0
         row = {'r': r, 'wall_s': round(time.time() - t0, 1),
