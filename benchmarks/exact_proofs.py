@@ -47,6 +47,10 @@ def exact_target(label: str, num_qubits: int, q: int):
     """Exactly-constructed target + certificate kind for a label family."""
     from cpflow_tpu.circuits import exact_unitary as ex
 
+    if label.startswith('ghz'):
+        # GHZ state prep: the certificate (ghz_state_certificate) is
+        # target-free — column |0..0> against the closed-form GHZ state.
+        return 'ghz_state', 'state'
     if label.startswith('toffoli'):
         t = ex.ExactMatrix.from_int_matrix(
             ex.toffoli_permutation(num_qubits), m=2 * q)
@@ -165,18 +169,22 @@ def prove_label(label: str) -> dict:
         return row
 
     # Guard against target-orientation mistakes before the symbolic run.
-    approx = np.abs(target.to_complex()
-                    - np.load(os.path.join(_ART, 'targets.npz')
-                              )[label].astype(np.complex128)).max()
-    if cert_kind == 'hst' and approx > 1e-5:
-        row.update({'proven': False, 'rational': True,
-                    'reason': f'exact target mismatch vs stored ({approx:.1e})'})
-        row['wall_s'] = round(time.time() - t0, 1)
-        return row
+    if cert_kind == 'hst':
+        approx = np.abs(target.to_complex()
+                        - np.load(os.path.join(_ART, 'targets.npz')
+                                  )[label].astype(np.complex128)).max()
+        if approx > 1e-5:
+            row.update({'proven': False, 'rational': True,
+                        'reason':
+                        f'exact target mismatch vs stored ({approx:.1e})'})
+            row['wall_s'] = round(time.time() - t0, 1)
+            return row
 
     u = ex.exact_unitary(qc, q)
     if cert_kind == 'hst':
         proven = ex.hst_equal_certificate(u, target)
+    elif cert_kind == 'state':
+        proven = ex.ghz_state_certificate(u)
     else:
         proven = ex.diagonal_certificate(ex.matmul_exact(u, target))
 

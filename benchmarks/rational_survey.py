@@ -48,6 +48,9 @@ def artifact_loss(meta, target):
     if kind == 'modulo_identity':
         return lambda u: float(losses.disc_modulo_identity(
             target, u, meta['num_qubits'], meta['wires'], xp=np))
+    if kind == 'state':
+        # target is the stored state vector; column |0..0> of the circuit
+        return lambda u: float(1 - abs((target.conj() * u[:, 0]).sum()) ** 2)
     raise ValueError(kind)
 
 

@@ -372,6 +372,27 @@ def diagonal_certificate(prod: ExactMatrix) -> bool:
     return True
 
 
+def ghz_state_certificate(u: ExactMatrix) -> bool:
+    """True iff column |0..0> of u EXACTLY equals the GHZ state
+    (|0..0> + |1..1>)/sqrt(2) up to a global phase.
+
+    Both vectors are exactly unit-norm (u is a product of exact unitary
+    gates), so by the Cauchy-Schwarz equality case |<ghz|u e_0>| == 1 iff
+    the column IS phase * ghz. With s = sqrt(2) * (conj(u_00) + conj(u_d0))
+    over the ring (sqrt 2 = x^{m/4} - x^{3m/4} in Z[x]/(x^m + 1)), that is
+    the integer identity s * conj(s) == 4^(e+1). The reference advertises
+    state preparation but never verifies it exactly (main.py:513)."""
+    m, d = u.m, u.dim
+    if m % 4:
+        return False  # sqrt(2) is not in Z[zeta_{2m}] unless 4 | m
+    root2 = _zero(m)
+    root2[m // 4] = 1
+    root2[3 * m // 4] = -1
+    s = _vmul(root2, _vadd(_vconj(u.entries[0][0], m),
+                           _vconj(u.entries[d - 1][0], m)), m)
+    return _is_const(_vmul(s, _vconj(s, m), m), 4 ** (u.e + 1))
+
+
 def matmul_exact(a: ExactMatrix, b: ExactMatrix) -> ExactMatrix:
     assert a.m == b.m and a.dim == b.dim
     m, d = a.m, a.dim

@@ -35,6 +35,10 @@ def _loss(meta, u, target):
     if kind == 'modulo_identity':
         return float(losses.disc_modulo_identity(
             target, u, meta['num_qubits'], meta['wires'], xp=np))
+    if kind == 'state':
+        # state-prep artifacts store the target STATE in targets.npz; only
+        # column |0..0> of the circuit matters (LossSpec.numpy, api.py)
+        return float(1 - abs((target.conj() * u[:, 0]).sum()) ** 2)
     raise ValueError(kind)
 
 

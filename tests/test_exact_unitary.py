@@ -193,3 +193,43 @@ def test_tdepth3_toffoli_golden_proven_exact():
     u = ex.exact_unitary(qc, q=4)
     t = ex.ExactMatrix.from_int_matrix(ex.toffoli_permutation(3), m=8)
     assert ex.hst_equal_certificate(u, t)
+
+
+def _ghz_circuit(n):
+    qc = Circuit(n)
+    qc.h(0)
+    for i in range(n - 1):
+        qc.cx(i, i + 1)
+    return qc
+
+
+def test_ghz_state_certificate_proves_ghz():
+    """Column |0..0> == (|0..0> + |1..1>)/sqrt(2) up to global phase,
+    certified over the ring (q even so sqrt 2 is representable)."""
+    for n in (2, 3, 4):
+        u = ex.exact_unitary(_ghz_circuit(n), q=2)
+        assert ex.ghz_state_certificate(u)
+
+
+def test_ghz_state_certificate_is_phase_invariant():
+    qc = Circuit(3)
+    qc.rz(math.pi / 2, 0)  # |0> -> exp(-i pi/4)|0>: global phase downstream
+    qc.h(0)
+    qc.cx(0, 1)
+    qc.cx(1, 2)
+    assert ex.ghz_state_certificate(ex.exact_unitary(qc, q=2))
+
+
+def test_ghz_state_certificate_rejects_non_ghz():
+    # wrong relative sign: (|000> - |111>)/sqrt(2)
+    qc = _ghz_circuit(3)
+    qc.z(0)
+    assert not ex.ghz_state_certificate(ex.exact_unitary(qc, q=2))
+    # product state |+00>
+    qc2 = Circuit(3)
+    qc2.h(0)
+    assert not ex.ghz_state_certificate(ex.exact_unitary(qc2, q=2))
+    # odd ring degree: sqrt(2) absent -> certificate must refuse, not crash
+    qc3 = Circuit(2)
+    qc3.cz(0, 1)
+    assert not ex.ghz_state_certificate(ex.exact_unitary(qc3, q=1))
