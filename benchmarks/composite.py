@@ -346,6 +346,13 @@ def main():
          {'note': 'TWO recursion levels beyond the reference paper'},
          multi_controlled_x(7), 'hst'),
     ):
+        # CPFLOW_COMPOSITES: comma-separated subset to (re)build. The 7q
+        # toffoli-7 rebuild alone takes hours of single-core f64 polish —
+        # and export_composites' never-regress guard refuses a worse
+        # rebuild anyway — so targeted re-exports must not pay for it.
+        only = os.environ.get('CPFLOW_COMPOSITES')
+        if only and name not in only.split(','):
+            continue
         try:
             rows.append(_report(builder, name, target, extra, target=tgt_u,
                                 loss_kind=kind))

@@ -156,6 +156,13 @@ def ghz8_state():
     return _ghz_state_n(8, max_k=28)
 
 
+def ghz9_state():
+    """Beyond-paper: 9q GHZ preparation (state-kind losses build only the
+    |0..0> column, so 9q stays 2^9-fold cheaper than a unitary hunt).
+    Target: the optimal 8 CZ."""
+    return _ghz_state_n(9, max_k=32)
+
+
 def cccz_adaptive(max_evals=10):
     """Config 4: 5q CCCCZ with the adaptive (TPE) path. Reference: 'several
     hours' for 100 evals x 1000 samples; we run a reduced eval budget by
@@ -861,6 +868,7 @@ ALL = {
     'ghz6_state': ghz6_state,
     'ghz7_state': ghz7_state,
     'ghz8_state': ghz8_state,
+    'ghz9_state': ghz9_state,
     'cccz_adaptive': cccz_adaptive,
     'qasm_sweep': qasm_sweep,
     **PAPER_TABLE,

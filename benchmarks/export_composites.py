@@ -88,6 +88,20 @@ def main():
                               'recomputed_loss': recomputed,
                               'criterion': CRITERION}), flush=True)
             continue
+        # never-regress guard: a committed artifact that VERIFIES is the
+        # durable record of the best construction found so far; a rebuild
+        # from today's available blocks can be WORSE (e.g. the 144-CZ
+        # toffoli-7 used a direct W6 whose gitignored Results dill did
+        # not survive the VM reset — the block-composite rebuild is 168).
+        prior_path = os.path.join(_ARTIFACTS, f'{name}.json')
+        if os.path.exists(prior_path):
+            prior = json.load(open(prior_path))
+            if (prior.get('cz_count', 1 << 30) < n_cz
+                    and prior.get('loss', 1.0) < CRITERION):
+                print(json.dumps({'export_kept_prior': name,
+                                  'prior_cz': prior['cz_count'],
+                                  'rebuilt_cz': int(n_cz)}), flush=True)
+                continue
         meta = {'label': name, 'cz_count': int(n_cz),
                 'cz_depth': int(flatqc.gates_depth(['cz'])),
                 'loss': recomputed, 'loss_kind': kind,

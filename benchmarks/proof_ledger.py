@@ -106,6 +106,19 @@ PROOF_STATUS = {
         'composite of the 38-CZ c4xroot4 block (unidentified, not '
         'pi-rational) + the relphase toffoli-5 (characterized '
         'obstruction above); inherits both blocks\' status', 70),
+    'relphase_toff6_composite': (
+        'blocked_on_subblock',
+        'W6 assembly (composite-W6 identity, tests/test_composite_w6.py) '
+        'over the relphase toffoli-5 (characterized obstruction) and the '
+        'relphase C4-sqrt-X (pending below); inherits both', 47),
+    'toffoli7_connected_composite': (
+        'blocked_on_subblock',
+        'V-recursion over W6 (row above) and C5-sqrt-X (composite of '
+        'c4xroot4 + relphase toffoli-5); every sub-block inherits the '
+        'relphase characterized obstruction — only the rightmost '
+        'C5-sqrt-X chain must be exact for the by-construction proof '
+        '(RESULTS_r4 §20), and that chain contains the non-pi-rational '
+        'c4xroot4 block', 144),
     # -- new rows superseding the swept stream; swept r4
     'qx_one-two-three-v2_100': ('dfs_stalled', 'closed_form_sweep r4 on '
                                 'the 25-CX row: 15/75 angles unidentified '
@@ -132,6 +145,41 @@ PROOF_STATUS = {
                            '(CPFLOW_CFS_BUDGET=1000): 43/104 angles '
                            'unidentified at budget — gauge-heavy like the '
                            'relphase family', 38),
+    # -- round-5 GHZ ladder (queue 24/29, RESULTS_r5 §2): optimal n-1 CZ
+    'ghz7_adaptive': (
+        'pending', 'state-kind artifact; ghz_state_certificate '
+        '(circuits/exact_unitary.py) applies when the polished angles '
+        'are pi-rational — swept this round', 6),
+    'ghz8_adaptive': (
+        'pending', 'state-kind artifact; ghz_state_certificate — swept '
+        'this round', 7),
+    # -- round-5 ablation-descent records (queues 26/27/29, RESULTS_r5
+    #    §§5-6): leave-one/two-out scans over exact composite embeddings
+    'toffoli6_connected_composite_warmstart_66': (
+        'pending', 'first direct 6q rows ever verified (warmstart6q '
+        'ablation); closed-form attempt queued', 66),
+    'toffoli5_connected_composite_warmstart_29': (
+        'pending', 'ablation of the 30-CZ composite (drops two gauge '
+        'blocks); closed-form attempt queued', 29),
+    'toffoli5_connected_record_warmstart_34': (
+        'pending', 'ablation of the 35-CZ proven direct record (#21); '
+        'closed-form attempt queued', 34),
+    # -- iterated ablation descent (queue 31, RESULTS_r5): each row is the
+    #    fixed point (so far) of re-running the leave-one/two-out scan on
+    #    the previous record's exact embedding
+    'toffoli5_connected_ablate27': (
+        'pending', 'THREE below the 30-CZ best-known composite (chain '
+        '30 -> 29 -> 27, every step verified < 1e-6 then f64-polished); '
+        'closed-form attempt queued', 27),
+    'toffoli5_connected_record_ablate33': (
+        'pending', 'direct-record chain 35 -> 34 -> 33; closed-form '
+        'attempt queued', 33),
+    'toffoli6_connected_ablate65': (
+        'pending', 'toffoli-6 chain 68 -> 66 -> 65; closed-form attempt '
+        'queued', 65),
+    'relphase_toff6_ablate46': (
+        'pending', 'one below the 47-CZ composite W6; entered toffoli-7 '
+        'cost accounting; closed-form attempt queued', 46),
 }
 
 

@@ -75,13 +75,18 @@ def build_warm_batch(angles, cp_mask, batch, seed):
     return out, sig_of_row
 
 
-def build_ablate_batch(angles, cp_indices, batch, seed, sigma=0.01):
-    """Leave-out scan: row j zeroes the CP angle of block j (first k rows),
-    remaining rows zero a random PAIR of blocks, all with light rotation
-    noise. If a nearby solution without that block exists, gradient
-    descent + the penalty keep the zeroed CP near 0 and the row verifies
-    at a LOWER cz count — a structured probe the sigma-ladder warm start
-    (which never left the 68-CZ basin) cannot make."""
+def build_ablate_batch(angles, cp_indices, batch, seed, sigma=0.01,
+                       offset=0):
+    """Leave-out scan: row j zeroes the CP angle of block offset+j (first
+    min(k, batch) rows), remaining rows zero a random PAIR of blocks, all
+    with light rotation noise. If a nearby solution without that block
+    exists, gradient descent + the penalty keep the zeroed CP near 0 and
+    the row verifies at a LOWER cz count — a structured probe the
+    sigma-ladder warm start (which never left the 68-CZ basin) cannot
+    make. `offset` (CPFLOW_DROP_OFFSET) windows the single-drop scan when
+    k > batch (the 7q toffoli-7 embedding has k=144 while the VMEM guard
+    caps the 7q batch at 64): runs at offsets 0/64/128 cover every block
+    with one shared compiled executable."""
     rng = np.random.default_rng(seed + 1)
     P = angles.shape[0]
     k = len(cp_indices)
@@ -90,7 +95,7 @@ def build_ablate_batch(angles, cp_indices, batch, seed, sigma=0.01):
     for b in range(batch):
         row = angles + rng.normal(0.0, sigma, P).astype(np.float32)
         if b < k:
-            drops = [b]
+            drops = [(b + offset) % k]
         else:
             drops = sorted(rng.choice(k, size=2, replace=False).tolist())
         for d in drops:
@@ -153,7 +158,9 @@ def main():
         from cpflow_tpu.sim.ansatz_kernel import cp_angle_indices
         cp_idx = cp_angle_indices(n, anz.num_block_angles, anz.num_blocks)
         warm_batch, drop_of_row = build_ablate_batch(
-            warm_angles.astype(np.float32), cp_idx, batch, seed)
+            warm_angles.astype(np.float32), cp_idx, batch, seed,
+            sigma=float(os.environ.get('CPFLOW_ABLATE_SIGMA', 0.01)),
+            offset=int(os.environ.get('CPFLOW_DROP_OFFSET', 0)))
         sig_of_row = np.zeros(batch)  # every row is a warm probe
     else:
         warm_batch, sig_of_row = build_warm_batch(
