@@ -135,6 +135,18 @@ def residual_fn(qc, target, loss_kind='modulo_diagonal'):
             z = jnp.trace(m) / d
             r = (m - z * jnp.eye(d, dtype=m.dtype)).ravel()
             return jnp.concatenate([jnp.real(r), jnp.imag(r)])
+    elif loss_kind == 'state':
+        # State preparation: only column |0..0> matters. With c = U e_0
+        # (unit norm) and z = <t|c>, c - z*t == 0 iff c == z*t with
+        # |z| == 1 — the phase-projection residual; sum(r^2) == 1 - |z|^2
+        # matches the fubini_study state loss exactly.
+        tvec = jnp.asarray(np.asarray(target).reshape(-1))
+
+        def resid(params):
+            c = build(params)[:, 0]
+            z = jnp.vdot(tvec, c)
+            r = c - z * tvec
+            return jnp.concatenate([jnp.real(r), jnp.imag(r)])
     else:
         raise ValueError(loss_kind)
 

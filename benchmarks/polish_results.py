@@ -70,6 +70,12 @@ def polish_label(label: str) -> dict:
     from cpflow_tpu.circuits.refine import host_loss_adapter, polish_angles
 
     res = Results.load(os.path.join(_RESULTS, label))
+    # A renamed/copied dill keeps its ORIGIN's save_to; saving the polish
+    # there leaves the file we were asked to polish untouched (and the
+    # export that follows reads the stale, unpolished angles — the r5
+    # ablate27/33/65 export regression). Always save back to the path we
+    # loaded from.
+    res.save_to = os.path.join(_RESULTS, label)
     if not res.decompositions:
         return {'label': label, 'skipped': 'no decompositions'}
     best = min(res.decompositions, key=lambda d: (d.cz_count, d.loss))

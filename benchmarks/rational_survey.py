@@ -49,8 +49,14 @@ def artifact_loss(meta, target):
         return lambda u: float(losses.disc_modulo_identity(
             target, u, meta['num_qubits'], meta['wires'], xp=np))
     if kind == 'state':
-        # target is the stored state vector; column |0..0> of the circuit
-        return lambda u: float(1 - abs((target.conj() * u[:, 0]).sum()) ** 2)
+        # target is the stored state vector; column |0..0> of the circuit.
+        # Normalize: a unit vector stored complex64 carries a ~3e-8 norm
+        # deficit that would floor the infidelity of an EXACT circuit at
+        # that deficit (measured on ghz8: raw 3.42e-8 vs 9.5e-17 after
+        # normalization, RESULTS_r5).
+        t = target.reshape(-1)
+        t = t / np.linalg.norm(t)
+        return lambda u: float(1 - abs((t.conj() * u[:, 0]).sum()) ** 2)
     raise ValueError(kind)
 
 

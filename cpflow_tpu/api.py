@@ -62,6 +62,11 @@ class LossSpec:
                  num_qubits: Optional[int] = None):
         self.kind = kind
         self.target = None if target is None else np.asarray(target)
+        if kind == 'state' and self.target is not None:
+            # state targets are unit vectors by definition; normalizing here
+            # keeps a complex64-rounded input (norm deficit ~3e-8) from
+            # flooring the infidelity of an exact circuit (RESULTS_r5)
+            self.target = self.target / np.linalg.norm(self.target)
         self.fn = fn
         self.wires = wires
         self.num_qubits = num_qubits
