@@ -163,6 +163,24 @@ def ghz9_state():
     return _ghz_state_n(9, max_k=32)
 
 
+def ghz10_state():
+    """Beyond-paper GHZ ladder, 10q. The state-kind column tensor at
+    batch 1024 is 2^10 x 1024 x 8 B = 8 MB — far inside the measured
+    VMEM envelope; remote compile time is the real cost at this width.
+    Target: the optimal 9 CZ."""
+    return _ghz_state_n(10, max_k=36)
+
+
+def ghz11_state():
+    """Beyond-paper GHZ ladder, 11q. Target: the optimal 10 CZ."""
+    return _ghz_state_n(11, max_k=40)
+
+
+def ghz12_state():
+    """Beyond-paper GHZ ladder, 12q. Target: the optimal 11 CZ."""
+    return _ghz_state_n(12, max_k=44)
+
+
 def cccz_adaptive(max_evals=10):
     """Config 4: 5q CCCCZ with the adaptive (TPE) path. Reference: 'several
     hours' for 100 evals x 1000 samples; we run a reduced eval budget by
@@ -869,6 +887,9 @@ ALL = {
     'ghz7_state': ghz7_state,
     'ghz8_state': ghz8_state,
     'ghz9_state': ghz9_state,
+    'ghz10_state': ghz10_state,
+    'ghz11_state': ghz11_state,
+    'ghz12_state': ghz12_state,
     'cccz_adaptive': cccz_adaptive,
     'qasm_sweep': qasm_sweep,
     **PAPER_TABLE,

@@ -137,8 +137,10 @@ PROOF_STATUS = {
         'rational, no family match at budget', 43),
     # -- toffoli-7 program block B inner piece (queue 23, RESULTS_r4)
     'relphase_c4sqrtx_connected': (
-        'pending', 'landed queue 23 (15 CZ, polished 9.5e-9); '
-        'squeeze-preprocessed closed_form_sweep scheduled this round', 15),
+        'characterized', 'relphase family: the gauge pair sits at '
+        'arctan(sqrt 2) (Margolus magic angle, RESULTS_r3 s17) — '
+        'provably outside every cyclotomic ring; recorded in '
+        'exact_proofs.json r5', 15),
     # -- toffoli-7 program block A (queue 21, RESULTS_r4)
     'c4xroot4_connected': ('dfs_stalled', 'exact_proofs r4: angles not '
                            'pi-rational; closed_form_sweep r4 '
@@ -180,6 +182,25 @@ PROOF_STATUS = {
     'relphase_toff6_ablate46': (
         'pending', 'one below the 47-CZ composite W6; entered toffoli-7 '
         'cost accounting; closed-form attempt queued', 46),
+    # -- round-5 ibm_qx ablation records (queue 34, RESULTS_r5 §10): the
+    #    leave-one/two-out scan turned on the committed qx beat rows
+    'qx_one-two-three-v0_98_warmstart_42': (
+        'pending', 'ablation of the committed 43-CX row (drops {33,41}); '
+        'closed-form attempt queued (prove_qx, 5-tower compositum)', 42),
+    'qx_one-two-three-v1_99_warmstart_45': (
+        'pending', 'ablation of the proven 46-CX row (proof #19 family); '
+        'closed-form attempt queued', 45),
+    'qx_4gt10-v1_81_warmstart_34': (
+        'pending', 'ablation of the committed 36-CX row, two removed; '
+        'closed-form attempt queued', 34),
+    # -- round-5 queue 35/36 records
+    'ghz9_adaptive': (
+        'pending', 'optimal 8-CZ GHZ-9 (queue 35, resumed posterior); '
+        'ghz_state_certificate sweep queued', 8),
+    'toffoli5_connected_ablate26': (
+        'pending', 'FOUR below the 30-CZ best-known composite (chain '
+        '30 -> 29 -> 27 -> 26, queue 35 iterated ablation); closed-form '
+        'attempt queued', 26),
 }
 
 
