@@ -158,30 +158,37 @@ PROOF_STATUS = {
     # -- round-5 ablation-descent records (queues 26/27/29, RESULTS_r5
     #    §§5-6): leave-one/two-out scans over exact composite embeddings
     'toffoli6_connected_composite_warmstart_66': (
-        'pending', 'first direct 6q rows ever verified (warmstart6q '
-        'ablation); closed-form attempt queued', 66),
+        'dfs_stalled', 'first direct 6q rows ever verified (warmstart6q '
+        'ablation); closed-form attempt aborted at the 900s wall (r5); '
+        'deeper offline attempt queued', 66),
     'toffoli5_connected_composite_warmstart_29': (
-        'pending', 'ablation of the 30-CZ composite (drops two gauge '
-        'blocks); closed-form attempt queued', 29),
+        'characterized', 'closed form FOUND (r5 sweep): pi-rational /16 '
+        'grid + 3-parameter gauge family (w1..w3); not pi-rational, '
+        'specs recorded in exact_proofs.json', 29),
     'toffoli5_connected_record_warmstart_34': (
-        'pending', 'ablation of the 35-CZ proven direct record (#21); '
-        'closed-form attempt queued', 34),
+        'characterized', 'closed form FOUND (r5 sweep): mostly /16 '
+        'pi-rationals + gauge family (w1..w3, q1); specs recorded in '
+        'exact_proofs.json', 34),
     # -- iterated ablation descent (queue 31, RESULTS_r5): each row is the
     #    fixed point (so far) of re-running the leave-one/two-out scan on
     #    the previous record's exact embedding
     'toffoli5_connected_ablate27': (
-        'pending', 'THREE below the 30-CZ best-known composite (chain '
-        '30 -> 29 -> 27, every step verified < 1e-6 then f64-polished); '
-        'closed-form attempt queued', 27),
+        'characterized', 'THREE below the 30-CZ best-known composite '
+        '(chain 30 -> 29 -> 27, f64-polished to 8.6e-12); closed form '
+        'FOUND (r5): /16 grid + gauge family (w1, q1, u0, u1), specs in '
+        'exact_proofs.json', 27),
     'toffoli5_connected_record_ablate33': (
-        'pending', 'direct-record chain 35 -> 34 -> 33; closed-form '
-        'attempt queued', 33),
+        'characterized', 'direct-record chain 35 -> 34 -> 33; closed form '
+        'FOUND (r5): pi-rational grid + gauge family, specs in '
+        'exact_proofs.json', 33),
     'toffoli6_connected_ablate65': (
-        'pending', 'toffoli-6 chain 68 -> 66 -> 65; closed-form attempt '
-        'queued', 65),
+        'dfs_stalled', 'toffoli-6 chain 68 -> 66 -> 65 (f64-polished to '
+        '1.4e-10); closed-form attempt aborted at the 600s wall (r5); '
+        'deeper offline attempt queued', 65),
     'relphase_toff6_ablate46': (
-        'pending', 'one below the 47-CZ composite W6; entered toffoli-7 '
-        'cost accounting; closed-form attempt queued', 46),
+        'dfs_stalled', 'one below the 47-CZ composite W6; relphase family '
+        'carries the Margolus-angle obstruction; closed-form attempt '
+        'aborted at the 600s wall (r5)', 46),
     # -- round-5 ibm_qx ablation records (queue 34, RESULTS_r5 §10): the
     #    leave-one/two-out scan turned on the committed qx beat rows
     'qx_one-two-three-v0_98_warmstart_42': (

@@ -126,6 +126,16 @@ def main():
     qc, meta = load_artifact_circuit(label)
     n = qc.num_qubits
     placements, warm_angles = circuit_to_ansatz(qc)
+    # A wire no entangler touches (qx_aj-e11_165: qubit 4) would make the
+    # ansatz infer fewer qubits than the target. Pad with an identity
+    # block (zero rotations, cp=0 — snapped away at verification) so the
+    # template spans all n wires; it also gives the scan a free slot.
+    covered = {w for p in placements for w in p}
+    for w in range(n):
+        if w not in covered:
+            placements.append((w, (w + 1) % n) if w + 1 < n
+                              else ((w - 1), w))
+            warm_angles = np.concatenate([warm_angles, np.zeros(7)])
     k = len(placements)
     # the artifact's own target and loss kind (targets.npz is the durable
     # record tests/test_artifacts.py re-verifies against)
