@@ -365,6 +365,9 @@ CONSTANTS['q3'] = math.pi + CONSTANTS['w1'] - MAGIC
 # 210 digits (loss 1.9e-210) — the paper's own exactness checks were
 # machine-precision Mathematica runs (CPFlow.tex:430).
 KNOWN_CLOSED_FORMS = {
+    'qx_4gt5_76_chain':   # 22 CX published-beat row; r5 squeeze
+        # sweep: 70 pi-rationals (/8 and /3 grids) + one w3 pair
+        ["-5/8", "1/2", "-5/8", "1/2", "1/2", "1/2", "1/8", "1/2", "1/2", "1/2", "1/2", "1", "1/2", "-1/2", "1/2", "3/8", "1/2", "1", "-1/8", "1/2", "1/2", "5/8", "1/2", "1/2", "1/2", "1", "1/2", "1/2", "7/8", "1/2", "1/2", "1/2", "5/8", "-1/2", "1/2", "-3/8", "1/2", "-5/8", "1/2", "-3/8", "1/2", "1", "1/2", "1", "1/2", "1/2", "1/2", "1/2", "1/2", "1", "5/8", "-1/2", "1/2", "-3/8", "1/2", "1", "1/2", "2/3-w3", "1/2", "1/8", "1/2", "1", "1/2", "1", "1/2", "3/8", "1/2", "1/2", "-1/2", "2/3-w3", "-1/2", "-1/2"],
     'toffoli5_connected':   # 37 CZ, paper sec toff5 parity row
         ['-1/2', '1/2', '7/8', '1/2', '1/2', '1/4', '1/2', '-1/2', '1/2',
          '1', '1/2', '7/16', '1', '1', '1/16', '1', '1/2', '-1/2', '1/4',

@@ -35,7 +35,19 @@ def main():
             row = {'label': label, 'error': f'{type(e).__name__}: {e}',
                    'traceback': traceback.format_exc().splitlines()[-6:]}
         row['wall_s'] = round(time.time() - t0, 1)
+        row['squeeze'] = bool(os.environ.get('CPFLOW_CFS_SQUEEZE'))
+        row['budget'] = budget
         print(json.dumps(row), flush=True)
+        # Durable record (the r5 VM reset ate /tmp sweep logs): fully
+        # identified rows feed exact_proofs.prove_from_closed_form.
+        store = os.path.join(_ART, 'closed_forms.json')
+        data = json.load(open(store)) if os.path.exists(store) else {}
+        prev = data.get(label)
+        # never clobber a fully identified record with a worse rerun
+        if not (prev and prev.get('specs') and not row.get('specs')):
+            data[label] = row
+            with open(store, 'w') as f:
+                json.dump(data, f, indent=1, sort_keys=True)
 
 
 if __name__ == '__main__':

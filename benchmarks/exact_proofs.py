@@ -157,6 +157,13 @@ def prove_label(label: str) -> dict:
         row['wall_s'] = round(time.time() - t0, 1)
         return row
 
+    return _prove_rational_circuit(label, meta, qc, fr, float_loss, row, t0)
+
+
+def _prove_rational_circuit(label, meta, qc, fr, float_loss, row, t0):
+    from cpflow_tpu.circuits import exact_unitary as ex
+
+    n = meta['num_qubits']
     q = 1
     for f in fr:
         q = q * f.denominator // math.gcd(q, f.denominator)
@@ -213,6 +220,66 @@ def prove_label(label: str) -> dict:
         with open(os.path.join(_EXACT_DIR, f'{label}.json'), 'w') as f:
             json.dump(out, f, indent=1)
     return row
+
+
+def prove_from_closed_form(label: str) -> dict:
+    """Prove a row whose closed_form_sweep record (artifacts/
+    closed_forms.json) identified EVERY angle as a rational multiple of
+    pi. The sweep's specs index its own reduction of the artifact
+    (reduced_artifact under the recorded squeeze setting); rebuild the
+    same circuit, snap the spec angles, check the float loss, then run
+    the exact-ring certificate."""
+    from benchmarks.closed_form_search import (parse_spec_general,
+                                               reduced_artifact)
+    from benchmarks.rational_survey import artifact_loss
+
+    store = os.path.join(_ART, 'closed_forms.json')
+    rec = json.load(open(store)).get(label) if os.path.exists(store) else None
+    t0 = time.time()
+    meta = json.load(open(os.path.join(_ART, f'{label}.json')))
+    row = {'label': label, 'num_qubits': meta['num_qubits'],
+           'cz': meta['cz_count'], 'loss_kind': meta['loss_kind'],
+           'source': 'closed_form_sweep specs'}
+    if not rec or not rec.get('specs'):
+        row.update({'proven': False,
+                    'reason': 'no fully identified closed form on record'})
+        return row
+    parsed = [parse_spec_general(s) for s in rec['specs']]
+    if any(name is not None or r.denominator > MAX_DENOMINATOR
+           for r, _, name in parsed):
+        row.update({'proven': False, 'rational': False,
+                    'reason': 'closed form found but not pi-rational: '
+                              f'{rec["specs"]}'})
+        return row
+    prev = os.environ.get('CPFLOW_CFS_SQUEEZE')
+    try:
+        if rec.get('squeeze'):
+            os.environ['CPFLOW_CFS_SQUEEZE'] = '1'
+        else:
+            os.environ.pop('CPFLOW_CFS_SQUEEZE', None)
+        qc, meta2, target = reduced_artifact(label)
+    finally:
+        if prev is None:
+            os.environ.pop('CPFLOW_CFS_SQUEEZE', None)
+        else:
+            os.environ['CPFLOW_CFS_SQUEEZE'] = prev
+    fr = [Fraction(r) for r, _, _ in parsed]
+    if len(fr) != len(qc.parameters):
+        row.update({'proven': False,
+                    'reason': f'spec count {len(fr)} != reduced circuit '
+                              f'angles {len(qc.parameters)} (reduction '
+                              'drifted since the sweep)'})
+        return row
+    qc = qc.with_rotation_angles(
+        [math.pi * f.numerator / f.denominator for f in fr])
+    float_loss = artifact_loss(meta, target.astype(np.complex128))(
+        qc.unitary())
+    if abs(float_loss) > 1e-6:
+        row.update({'proven': False,
+                    'reason': f'rational form float loss {float_loss:.3e} '
+                              'above criterion'})
+        return row
+    return _prove_rational_circuit(label, meta, qc, fr, float_loss, row, t0)
 
 
 def main():
