@@ -204,6 +204,15 @@ PROOF_STATUS = {
     'ghz9_adaptive': (
         'pending', 'optimal 8-CZ GHZ-9 (queue 35, resumed posterior); '
         'ghz_state_certificate sweep queued', 8),
+    'qx_alu-v2_32_warmstart_24': (
+        'pending', 'ablation of the PROVEN 25-CX row (#22; published 30); '
+        'closed-form attempt queued', 24),
+    'qx_alu-v4_36_warmstart_26': (
+        'pending', 'ablation of the committed 27-CX row; closed-form '
+        'attempt queued', 26),
+    'qx_one-two-three-v2_100_warmstart_24': (
+        'pending', 'ablation of the committed 25-CX row; closed-form '
+        'attempt queued', 24),
     'toffoli5_connected_ablate26': (
         'pending', 'FOUR below the 30-CZ best-known composite (chain '
         '30 -> 29 -> 27 -> 26, queue 35 iterated ablation); closed-form '

@@ -28,5 +28,8 @@ ablate 2700 qx_one-two-three-v0_98_warmstart_42
 ablate 2700 qx_one-two-three-v1_99_warmstart_45
 ablate 2700 qx_4gt10-v1_81_warmstart_34
 ablate 2700 qx_one-two-three-v2_100_warmstart_24
+ablate 2700 qx_alu-v2_32_warmstart_24
+ablate 2700 qx_alu-v4_36_warmstart_26
+ablate 2700 qx_alu-v3_35_chain
 
 echo "=== queue37 end $(date -u +%FT%TZ) ===" >> $LOG
