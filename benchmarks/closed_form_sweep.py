@@ -12,7 +12,7 @@ from benchmarks.closed_form_search import search, DYNAMIC_POLY
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'artifacts')
 SKIP = {'relphase_toff4_connected', 'relphase_toff4_chain',
         'relphase_toff5_connected', 'qx_alu-v3_34', 'qx_4gt13_92',
-        'exact_proofs'}
+        'exact_proofs', 'closed_forms'}
 
 
 def main():

@@ -26,6 +26,8 @@ import sys
 import time
 from fractions import Fraction
 
+from benchmarks.proof_ledger import LEDGER_FILES
+
 import numpy as np
 
 import jax
@@ -282,11 +284,12 @@ def prove_from_closed_form(label: str) -> dict:
     return _prove_rational_circuit(label, meta, qc, fr, float_loss, row, t0)
 
 
+
 def main():
     labels = sys.argv[1:] or sorted(
         os.path.basename(p)[:-5]
         for p in glob.glob(os.path.join(_ART, '*.json'))
-        if os.path.basename(p) != 'exact_proofs.json')
+        if os.path.basename(p)[:-5] not in LEDGER_FILES)
     ledger_path = os.path.join(_ART, 'exact_proofs.json')
     ledger = {}
     if os.path.exists(ledger_path):

@@ -14,6 +14,8 @@ Usage: python -m benchmarks.polish_artifacts <label ...>
 
 from __future__ import annotations
 
+from benchmarks.proof_ledger import LEDGER_FILES
+
 import glob
 import json
 import os
@@ -84,7 +86,7 @@ def main():
         labels = []
         for p in sorted(glob.glob(os.path.join(_ART, '*.json'))):
             name = os.path.basename(p)[:-5]
-            if name == 'exact_proofs':
+            if name in LEDGER_FILES:
                 continue
             if json.load(open(p))['loss'] > floor:
                 labels.append(name)

@@ -35,6 +35,10 @@ import os
 
 _ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'artifacts')
 
+# JSON files in artifacts/ that are LEDGERS, not circuit artifacts —
+# every artifact scanner (tests included) must skip these.
+LEDGER_FILES = ('exact_proofs', 'closed_forms')
+
 # label -> (status, proof/attempt pointer, stream_cz the record refers to)
 PROOF_STATUS = {
     # -- proven over cyclotomic rings (proofs #1-8, #13; exact_proofs.json)
@@ -228,7 +232,7 @@ def consolidate() -> dict:
     out = {}
     for p in sorted(glob.glob(os.path.join(_ART, '*.json'))):
         label = os.path.basename(p)[:-5]
-        if label == 'exact_proofs':
+        if label in LEDGER_FILES:
             continue
         meta = json.load(open(p))
         status, pointer, stream_cz = PROOF_STATUS.get(

@@ -18,6 +18,8 @@ import sys
 import time
 from fractions import Fraction
 
+from benchmarks.proof_ledger import LEDGER_FILES
+
 import numpy as np
 
 import jax
@@ -98,11 +100,12 @@ def survey_label(label, max_denominator=32):
     return row
 
 
+
 def main():
     labels = sys.argv[1:] or sorted(
         os.path.basename(p)[:-5]
         for p in glob.glob(os.path.join(_ART, '*.json'))
-        if os.path.basename(p) != 'exact_proofs.json')
+        if os.path.basename(p)[:-5] not in LEDGER_FILES)
     for label in labels:
         row = survey_label(label)
         print(json.dumps(row), flush=True)

@@ -14,9 +14,11 @@ import pytest
 _ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     'benchmarks', 'artifacts')
 
+from benchmarks.proof_ledger import LEDGER_FILES
+
 _LABELS = sorted(os.path.basename(p)[:-5]
                  for p in glob.glob(os.path.join(_ART, '*.json'))
-                 if os.path.basename(p) != 'exact_proofs.json')
+                 if os.path.basename(p)[:-5] not in LEDGER_FILES)
 
 
 def _loss(meta, u, target):

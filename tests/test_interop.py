@@ -123,8 +123,9 @@ def test_round_trip_structure(interop):
 def test_round_trip_artifact_circuits(interop):
     # marshal every committed artifact circuit through the adapter
     import glob
+    from benchmarks.proof_ledger import LEDGER_FILES
     for p in sorted(glob.glob(os.path.join(_ART, '*.json'))):
-        if os.path.basename(p) == 'exact_proofs.json':
+        if os.path.basename(p)[:-5] in LEDGER_FILES:
             continue
         meta = json.load(open(p))
         qc = Circuit(meta['num_qubits'])
