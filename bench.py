@@ -24,13 +24,20 @@ import time
 import numpy as np
 
 
-def _backend_alive(timeout_s: int = 240) -> bool:
+def _backend_alive(timeout_s: int = 900) -> bool:
     """Bounded tunnel-health probe in a SUBPROCESS: a dead axon tunnel
     HANGS backend init indefinitely (observed for hours after a worker
     crash, CLAUDE.md) — an in-process try/except never returns. The probe
-    compiles one tiny op; kill-on-timeout leaves this process clean."""
+    compiles one tiny op; kill-on-timeout leaves this process clean.
+
+    The probe MUST use the persistent compile cache and a generous bound:
+    after a VM reset wipes .jax_cache, even the tiny probe op takes 4-8
+    min of remote compile on a cold tunnel (r5: a healthy tunnel failed
+    the old 240 s probe, and bench reported 'unreachable' spuriously)."""
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
+            "jax.config.update('jax_compilation_cache_dir',"
+            " '/root/repo/.jax_cache');"
             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))")
     try:
         r = subprocess.run([sys.executable, '-c', code],

@@ -46,8 +46,12 @@ def main():
         # never clobber a fully identified record with a worse rerun
         if not (prev and prev.get('specs') and not row.get('specs')):
             data[label] = row
-            with open(store, 'w') as f:
+            # atomic write: a timeout kill mid-dump must never truncate
+            # the shared ledger (same discipline as exact_proofs.main)
+            tmp = store + '.tmp'
+            with open(tmp, 'w') as f:
                 json.dump(data, f, indent=1, sort_keys=True)
+            os.replace(tmp, store)
 
 
 if __name__ == '__main__':

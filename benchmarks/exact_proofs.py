@@ -302,8 +302,13 @@ def main():
                    'reason': f'{type(e).__name__}: {e}'}
         ledger[label] = row
         print(json.dumps(row), flush=True)
-    with open(ledger_path, 'w') as f:
-        json.dump(ledger, f, indent=1, sort_keys=True)
+        # atomic per-label write: a timeout kill mid-dump must never
+        # truncate the shared ledger (single writer at a time by the
+        # serial-pipeline discipline; tmp+rename keeps readers safe)
+        tmp = ledger_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+        os.replace(tmp, ledger_path)
 
 
 if __name__ == '__main__':
