@@ -102,6 +102,7 @@ def main():
                 for p in os.listdir(_ART) if p.endswith('.json')}
         labels = sorted(d for d in os.listdir(_RESULTS)
                         if os.path.isfile(os.path.join(_RESULTS, d))
+                        and not d.endswith('.json')  # envelope/ref records
                         and d not in have) if os.path.isdir(_RESULTS) else []
     missing_registry = []
     for label in labels:
