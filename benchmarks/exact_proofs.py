@@ -291,20 +291,29 @@ def main():
         for p in glob.glob(os.path.join(_ART, '*.json'))
         if os.path.basename(p)[:-5] not in LEDGER_FILES)
     ledger_path = os.path.join(_ART, 'exact_proofs.json')
-    ledger = {}
-    if os.path.exists(ledger_path):
-        ledger = json.load(open(ledger_path))
     for label in labels:
         try:
             row = prove_label(label)
+            if (not row.get('proven')
+                    and 'not rational' in str(row.get('reason', ''))):
+                # the direct /32 snap failed, but the closed-form sweep
+                # may have identified an exactly pi-rational gauge
+                # representative — prove THAT circuit instead
+                cf = prove_from_closed_form(label)
+                if cf.get('proven'):
+                    row = cf
         except Exception as e:  # noqa: BLE001 — keep the sweep going
             row = {'label': label, 'proven': False,
                    'reason': f'{type(e).__name__}: {e}'}
-        ledger[label] = row
         print(json.dumps(row), flush=True)
-        # atomic per-label write: a timeout kill mid-dump must never
-        # truncate the shared ledger (single writer at a time by the
-        # serial-pipeline discipline; tmp+rename keeps readers safe)
+        # read-modify-write PER LABEL, atomically (tmp+rename): a timeout
+        # kill mid-dump must never truncate the shared ledger, and a slow
+        # attempt must not clobber rows other writers landed while it ran
+        # (the serial-pipeline discipline still applies; this bounds the
+        # damage when it is accidentally broken)
+        ledger = (json.load(open(ledger_path))
+                  if os.path.exists(ledger_path) else {})
+        ledger[label] = row
         tmp = ledger_path + '.tmp'
         with open(tmp, 'w') as f:
             json.dump(ledger, f, indent=1, sort_keys=True)
