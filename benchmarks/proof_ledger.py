@@ -221,6 +221,22 @@ PROOF_STATUS = {
         'pending', 'FOUR below the 30-CZ best-known composite (chain '
         '30 -> 29 -> 27 -> 26, queue 35 iterated ablation); closed-form '
         'attempt queued', 26),
+    # -- queue-40 second-generation scans over the recovered records
+    #    (pre-registered so a new record lands green; 'pending' rows are
+    #    exempt from the cz-drift gate, so these are harmless if the scan
+    #    comes back negative)
+    'qx_one-two-three-v2_100_warmstart_24_warmstart_23': (
+        'pending', 'second-generation ablation candidate (queue 40); '
+        'closed-form attempt queued if it lands', 23),
+    'qx_alu-v2_32_warmstart_24_warmstart_23': (
+        'pending', 'second-generation ablation candidate (queue 40); '
+        'closed-form attempt queued if it lands', 23),
+    'qx_alu-v4_36_warmstart_26_warmstart_25': (
+        'pending', 'second-generation ablation candidate (queue 40); '
+        'closed-form attempt queued if it lands', 25),
+    'ghz10_adaptive': (
+        'pending', 'GHZ ladder rung 10 (queue 40, ghz10_state config); '
+        'ghz_state_certificate sweep queued if it lands', 9),
 }
 
 
