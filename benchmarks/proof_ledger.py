@@ -218,9 +218,12 @@ PROOF_STATUS = {
         'pending', 'ablation of the committed 25-CX row; closed-form '
         'attempt queued', 24),
     'toffoli5_connected_ablate26': (
-        'pending', 'FOUR below the 30-CZ best-known composite (chain '
-        '30 -> 29 -> 27 -> 26, queue 35 iterated ablation); closed-form '
-        'attempt queued', 26),
+        'characterized', 'FOUR below the 30-CZ best-known composite '
+        '(chain 30 -> 29 -> 27 -> 26, queue 35 iterated ablation); '
+        'closed form FOUND (r5 continuation, mp_loss 6.2e-61): /16 '
+        'pi-rational grid + the 27-CZ parent\'s gauge family (w1, q1, '
+        'u0, u1), specs in closed_forms.json; second-generation scan '
+        'fixed point at 26 (no sub-26 row verified, queue 39b)', 26),
     # -- queue-40 second-generation scans over the recovered records
     #    (pre-registered so a new record lands green; 'pending' rows are
     #    exempt from the cz-drift gate, so these are harmless if the scan
